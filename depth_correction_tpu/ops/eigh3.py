@@ -1,0 +1,128 @@
+"""Closed-form eigendecomposition of symmetric 3x3 matrices.
+
+Replaces the reference's LAPACK ``torch.linalg.eigh`` call, which is forced
+onto the CPU and re-entered with random jitter on failure
+(reference: src/depth_correction/depth_cloud.py:376-396). The reference also
+ships an analytic fallback (``eigh3_deledalle``, loss.py:39-103) validated
+against LAPACK (loss.py:714-735); here the analytic path *is* the main path,
+fused into the XLA graph so covariance -> eigenvalues never leaves the TPU.
+
+Algorithm: the trigonometric solution of the characteristic cubic
+(Smith 1961). For A symmetric 3x3 with q = tr(A)/3 and
+p = sqrt(tr((A-qI)^2)/6), the eigenvalues are
+
+    lam_k = q + 2 p cos(phi/3 + 2 pi k / 3),  phi = acos(det((A-qI)/p)/2)
+
+which yields an ascending triple by construction. Gradients are supplied by
+a custom JVP using the exact first-order perturbation d lam_i = v_i^T dA v_i,
+with eigenvectors from adjugate cross-products — this is stable exactly where
+the loss drives the system (near-planar neighborhoods, lam_1 -> 0), where
+naive autodiff through acos would blow up.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["eigvals3", "eigh3", "eigvecs3"]
+
+_TWO_PI_3 = 2.0943951023931953  # 2*pi/3
+
+
+def _eigvals3_impl(A: jax.Array) -> jax.Array:
+    a00 = A[..., 0, 0]
+    a11 = A[..., 1, 1]
+    a22 = A[..., 2, 2]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a12 = A[..., 1, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    b00 = a00 - q
+    b11 = a11 - q
+    b22 = a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+
+    # det(A - qI); for B = (A-qI)/p, r = det(B)/2 = det(A-qI) / (2 p^3).
+    det_b = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    # Guard p == 0 (A is a multiple of I: all eigenvalues equal q).
+    p_safe = jnp.where(p > 0.0, p, 1.0)
+    r = det_b / (2.0 * p_safe * p_safe * p_safe)
+    r = jnp.clip(r, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    lam_max = q + 2.0 * p * jnp.cos(phi)
+    lam_min = q + 2.0 * p * jnp.cos(phi + _TWO_PI_3)
+    lam_mid = 3.0 * q - lam_max - lam_min
+    return jnp.stack([lam_min, lam_mid, lam_max], axis=-1)
+
+
+def eigvecs3(A: jax.Array, lams: jax.Array) -> jax.Array:
+    """Eigenvectors of symmetric 3x3 ``A`` for eigenvalues ``lams``.
+
+    For each eigenvalue lam, the columns of adj(A - lam I) span the
+    eigenspace; equivalently the cross products of any two rows of
+    (A - lam I) do. We take all three row cross-products and pick the one
+    with the largest norm — robust whenever lam is a simple eigenvalue. For
+    (near-)repeated eigenvalues an arbitrary unit vector in the eigenspace is
+    returned via safe normalization.
+
+    :param A: (..., 3, 3) symmetric matrices.
+    :param lams: (..., 3) eigenvalues.
+    :return: (..., 3, 3) matrix whose COLUMN i is the eigenvector of lams[i]
+        (same layout as ``torch.linalg.eigh`` / ``jnp.linalg.eigh``).
+    """
+
+    def one_vec(lam):
+        B = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
+        r0, r1, r2 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
+        c0 = jnp.cross(r1, r2)
+        c1 = jnp.cross(r2, r0)
+        c2 = jnp.cross(r0, r1)
+        cands = jnp.stack([c0, c1, c2], axis=-2)  # (..., 3cand, 3)
+        norms = jnp.sum(cands * cands, axis=-1)
+        best = jnp.argmax(norms, axis=-1)
+        v = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        # Degenerate eigenspace: fall back to e_x (any unit vector is valid).
+        fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+        return jnp.where(n > 1e-20, v / jnp.maximum(n, 1e-20), fallback)
+
+    vs = [one_vec(lams[..., i]) for i in range(3)]
+    return jnp.stack(vs, axis=-1)  # columns are eigenvectors
+
+
+@jax.custom_jvp
+def eigvals3(A: jax.Array) -> jax.Array:
+    """Ascending eigenvalues (..., 3) of symmetric (..., 3, 3) matrices."""
+    return _eigvals3_impl(A)
+
+
+@eigvals3.defjvp
+def _eigvals3_jvp(primals, tangents):
+    (A,) = primals
+    (dA,) = tangents
+    lams = _eigvals3_impl(A)
+    V = eigvecs3(A, lams)  # (..., 3, 3), columns v_i
+    # d lam_i = v_i^T dA v_i  (exact for simple eigenvalues; the stable
+    # subgradient choice at degeneracies).
+    dlams = jnp.einsum("...ki,...kl,...li->...i", V, dA, V)
+    return lams, dlams
+
+
+def eigh3(A: jax.Array):
+    """Eigenvalues and eigenvectors of symmetric 3x3 matrices.
+
+    Drop-in analytic equivalent of ``torch.linalg.eigh`` for the 3x3
+    symmetric case (reference: loss.py:106-122). Eigenvalues ascend;
+    eigenvectors are the columns of the second output. Eigenvector sign is
+    arbitrary, as with LAPACK.
+    """
+    lams = eigvals3(A)
+    V = eigvecs3(A, jax.lax.stop_gradient(lams))
+    return lams, V

@@ -1,0 +1,28 @@
+"""Test harness setup.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths can be
+validated without TPU hardware, and with x64 enabled so numeric parity
+against float64 oracles (scipy / torch CPU, mirroring the reference's
+float64-on-CPU default, reference config.py:179-180) is meaningful.
+
+Environment must be set before JAX is imported by any test module.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The sandbox's sitecustomize force-registers the axon TPU plugin and sets
+# jax_platforms="axon,cpu"; initializing it costs a ~3 min tunnel handshake.
+# Tests are CPU-only — override the *config* (the env var alone is ignored).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# Single-core sandboxes make XLA compiles the dominant test cost; cache them.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_dctpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
