@@ -1,0 +1,345 @@
+"""Cloud preprocessing pipeline.
+
+Re-design of the reference pipeline helpers
+(reference: src/depth_correction/preproc.py:14-244) around static shapes:
+
+- host-side: depth + voxel-grid subsampling of raw scans
+  (:func:`filtered_cloud`), producing compact numpy arrays once per scan,
+- device-side: per-scan feature clouds (:func:`local_feature_cloud`),
+  batched sequences of padded scans (:class:`SequenceBatch`), the corrected
+  +posed global cloud (:func:`global_cloud`), frozen neighborhood
+  establishment (:func:`establish_neighborhoods`), and feature recomputation
+  over frozen neighborhoods (:func:`compute_neighborhood_features`) — the
+  hot path re-run every optimization step.
+
+Scan sizes are padded to multiples of :data:`PAD_MULTIPLE` so XLA programs
+are reused across scans of similar size.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cloud import Cloud
+from .config import Config, NeighborhoodType
+from .ops.features import compute_features
+from .ops.filters import (
+    filter_eigenvalue_ratios_mask,
+    filter_eigenvalues_mask,
+    filter_grid_indices,
+    filter_shadow_mask,
+    ball_angle_to_distance,
+    global_cloud_mask,
+)
+from .ops.knn import nearest_neighbors, radius_neighbors, suggest_k_max
+from .ops.se3 import xyz_axis_angle_to_matrix
+
+__all__ = [
+    "PAD_MULTIPLE",
+    "SequenceBatch",
+    "compute_neighborhood_features",
+    "establish_neighborhoods",
+    "filtered_cloud",
+    "flatten_batch",
+    "global_cloud",
+    "global_cloud_mask",
+    "local_feature_cloud",
+    "offset_cloud",
+    "pad_size",
+    "sequence_batch",
+]
+
+PAD_MULTIPLE = 512
+
+
+def pad_size(n: int, multiple: int = PAD_MULTIPLE) -> int:
+    return max(multiple, -(-n // multiple) * multiple)
+
+
+# ---------------------------------------------------------------------------
+# Host-side raw-scan filtering (runs once per scan, like the reference's CPU
+# preprocessing; reference: preproc.py:25-32).
+# ---------------------------------------------------------------------------
+
+
+def _split_structured(arr: np.ndarray):
+    from numpy.lib.recfunctions import structured_to_unstructured as s2u
+
+    names = arr.dtype.names or ()
+    pts = s2u(arr[["x", "y", "z"]], dtype=np.float64) if names else np.asarray(arr)
+    vps = s2u(arr[["vp_x", "vp_y", "vp_z"]], dtype=np.float64) if "vp_x" in names else None
+    normals = (
+        s2u(arr[["normal_x", "normal_y", "normal_z"]], dtype=np.float64)
+        if "normal_x" in names
+        else None
+    )
+    return pts, vps, normals
+
+
+def filtered_cloud(
+    cloud, cfg: Config
+) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
+    """Depth-bounds + seeded random voxel-grid subsample of a raw scan.
+
+    Mirrors ``filtered_cloud`` (reference: preproc.py:25-32): a fresh
+    generator seeded with ``cfg.random_seed`` per scan keeps the grid
+    tie-breaks deterministic.
+
+    :param cloud: structured array (x/y/z[/vp_*/normal_*]) or (N, 3) points.
+    :return: (points, vps or None, normals or None) as numpy arrays.
+    """
+    if isinstance(cloud, np.ndarray) and cloud.dtype.names:
+        pts, vps, normals = _split_structured(cloud)
+    else:
+        pts, vps, normals = np.asarray(cloud, dtype=np.float64), None, None
+
+    depth = np.linalg.norm(pts - (vps if vps is not None else 0.0), axis=1)
+    keep = np.ones(len(pts), dtype=bool)
+    if cfg.min_depth is not None and cfg.min_depth > 0.0:
+        keep &= depth >= cfg.min_depth
+    if cfg.max_depth is not None and np.isfinite(cfg.max_depth):
+        keep &= depth <= cfg.max_depth
+    idx = np.flatnonzero(keep)
+
+    if cfg.grid_res and cfg.grid_res > 0.0:
+        rng = np.random.default_rng(cfg.random_seed)
+        sub = filter_grid_indices(pts[idx], cfg.grid_res, keep="random", rng=rng)
+        idx = idx[sub]
+
+    return (
+        pts[idx],
+        vps[idx] if vps is not None else None,
+        normals[idx] if normals is not None else None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-scan feature clouds (reference: preproc.py:35-64).
+# ---------------------------------------------------------------------------
+
+
+def local_feature_cloud(
+    cloud,
+    cfg: Config,
+    pad_to: Optional[int] = None,
+) -> Cloud:
+    """Build a per-scan feature cloud: neighbors + mean/cov/eigh/normals/
+    incidence angles + eigenvalue masks.
+
+    The resulting ``mask`` marks the locally-planar, correctable region the
+    model is applied to (reference: preproc.py:53-62).
+    """
+    dtype = cfg.jax_float_type()
+    if isinstance(cloud, np.ndarray) and cloud.dtype.names:
+        pts, vps, normals = _split_structured(cloud)
+        cloud = Cloud.from_points(pts, vps=vps, normals=normals, dtype=dtype)
+    elif isinstance(cloud, (np.ndarray, jnp.ndarray)):
+        cloud = Cloud.from_points(cloud, dtype=dtype)
+    elif isinstance(cloud, tuple):
+        pts, vps, normals = cloud
+        cloud = Cloud.from_points(pts, vps=vps, normals=normals, dtype=dtype)
+    assert isinstance(cloud, Cloud)
+    cloud = cloud.astype(dtype)
+
+    # Shadow-point removal over direction-space neighborhoods
+    # (reference: preproc.py:45-47).
+    if cfg.shadow_angle_bounds:
+        r_dir = float(ball_angle_to_distance(cfg.shadow_neighborhood_angle))
+        k_dir = suggest_k_max(cloud.dirs, r=r_dir, valid_points=cloud.valid)
+        _, dir_nn = radius_neighbors(
+            cloud.dirs, r=r_dir, k=k_dir, valid_points=cloud.valid
+        )
+        dir_w = (dir_nn >= 0).astype(dtype)
+        shadow_ok = filter_shadow_mask(cloud, dir_nn, dir_w, cfg.shadow_angle_bounds)
+        cloud = cloud.keep(np.asarray(shadow_ok))
+
+    if pad_to is None:
+        pad_to = pad_size(cloud.size)
+    cloud = cloud.pad(pad_to)
+
+    # Neighbors + features (reference: preproc.py:50 / depth_cloud.py:426-441).
+    neighbors, weights = establish_scan_neighbors(cloud, cfg)
+    cloud = compute_features(cloud, neighbors, weights, scale=cfg.nn_scale)
+
+    # Planar-region mask (reference: preproc.py:53-62).
+    mask = cloud.valid
+    if cfg.eigenvalue_bounds:
+        mask = mask & filter_eigenvalues_mask(cloud.eigvals, cfg.eigenvalue_bounds)
+    if cfg.eigenvalue_ratio_bounds:
+        mask = mask & filter_eigenvalue_ratios_mask(
+            cloud.eigvals, cfg.eigenvalue_ratio_bounds
+        )
+    return cloud.replace(mask=mask)
+
+
+def establish_scan_neighbors(cloud: Cloud, cfg: Config):
+    """Neighbor graph of a single cloud per config (kNN or ball radius)."""
+    points = cloud.get_points()
+    if cfg.nn_k:
+        dist, idx = nearest_neighbors(
+            points,
+            points,
+            k=int(cfg.nn_k),
+            r=cfg.nn_r or None,
+            valid_points=cloud.valid,
+            valid_query=cloud.valid,
+        )
+    else:
+        k = cfg.nn_max_neighbors or suggest_k_max(
+            points, r=cfg.nn_r, valid_points=cloud.valid
+        )
+        dist, idx = radius_neighbors(
+            points,
+            r=cfg.nn_r,
+            k=int(k),
+            valid_points=cloud.valid,
+            valid_query=cloud.valid,
+        )
+    weights = (idx >= 0).astype(points.dtype)
+    return idx, weights
+
+
+# ---------------------------------------------------------------------------
+# Batched sequences and the global cloud (reference: preproc.py:80-119).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SequenceBatch:
+    """A sequence of S scans padded to a common width N.
+
+    The TPU-first layout for training: one (S, N, ...) Cloud plus (S, 4, 4)
+    poses. The reference iterates Python lists of per-scan clouds
+    (preproc.py:110-118); here per-scan work is one batched program.
+    """
+
+    cloud: Cloud  # fields shaped (S, N, ...)
+    poses: jax.Array  # (S, 4, 4)
+
+    @property
+    def num_scans(self) -> int:
+        return self.poses.shape[0]
+
+
+def sequence_batch(clouds: Sequence[Cloud], poses) -> SequenceBatch:
+    """Stack per-scan clouds (padding to the widest) with their poses."""
+    n = max(pad_size(c.size) for c in clouds)
+    padded = [c.pad(n) for c in clouds]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded)
+    poses = jnp.asarray(poses, dtype=stacked.vps.dtype)
+    return SequenceBatch(cloud=stacked, poses=poses)
+
+
+def flatten_batch(cloud: Cloud) -> Cloud:
+    """(S, N, ...) cloud -> (S*N, ...) global cloud."""
+
+    def flat(x):
+        if x is None:
+            return None
+        return x.reshape((-1,) + x.shape[2:])
+
+    return jax.tree_util.tree_map(flat, cloud)
+
+
+def corrected_poses(poses: jax.Array, pose_deltas: Optional[jax.Array]) -> jax.Array:
+    """poses @ delta(xyz_axis_angle) (reference: eval.py:68-82).
+
+    ``pose_deltas`` may be (1, 6) (common/sequence correction, broadcast) or
+    (S, 6) (per-pose correction).
+    """
+    if pose_deltas is None:
+        return poses
+    deltas = xyz_axis_angle_to_matrix(pose_deltas.astype(poses.dtype))
+    if deltas.shape[0] == 1 and poses.shape[0] != 1:
+        deltas = jnp.broadcast_to(deltas, poses.shape)
+    return poses @ deltas
+
+
+def global_cloud(
+    batch: SequenceBatch,
+    model=None,
+    pose_deltas: Optional[jax.Array] = None,
+) -> Cloud:
+    """Depth-correct, pose-transform, and merge a sequence into one global
+    cloud (reference: preproc.py:80-119). Fully batched: the model applies
+    to the (S, N) depth/incidence arrays at once and the per-scan rigid
+    transforms are one batched matmul.
+    """
+    cloud = batch.cloud
+    if model is not None:
+        cloud = model.apply(cloud)
+    poses = corrected_poses(batch.poses, pose_deltas)
+    # (S, 4, 4) poses broadcast against the (S, N, 3) cloud fields batchwise.
+    transformed = cloud.transform(poses)
+    return flatten_batch(transformed).with_points()
+
+
+def offset_cloud(batch: SequenceBatch, model=None) -> Cloud:
+    """Concatenated per-scan local clouds with model applied, for loss
+    offsetting (reference: preproc.py:67-77)."""
+    cloud = batch.cloud
+    if model is not None:
+        cloud = model.apply(cloud)
+    return flatten_batch(cloud)
+
+
+def establish_neighborhoods(
+    gcloud: Cloud, cfg: Config, k_max: Optional[int] = None
+):
+    """Frozen neighborhoods of the global cloud (reference: preproc.py:168-191,
+    ball type). Computed once per training run; the hot loop only re-gathers.
+
+    :return: (neighbors (M, K) int32, weights (M, K) float).
+    """
+    if cfg.nn_type != NeighborhoodType.ball:
+        raise NotImplementedError(
+            "plane neighborhoods arrive with the RANSAC module"
+        )
+    points = gcloud.get_points()
+    if cfg.nn_k:
+        _, idx = nearest_neighbors(
+            points,
+            points,
+            k=int(cfg.nn_k),
+            r=cfg.nn_r or None,
+            valid_points=gcloud.valid,
+            valid_query=gcloud.valid,
+        )
+    else:
+        k = k_max or cfg.nn_max_neighbors or suggest_k_max(
+            points, r=cfg.nn_r, valid_points=gcloud.valid
+        )
+        _, idx = radius_neighbors(
+            points,
+            r=cfg.nn_r,
+            k=int(k),
+            valid_points=gcloud.valid,
+            valid_query=gcloud.valid,
+        )
+    weights = (idx >= 0).astype(points.dtype)
+    return idx, weights
+
+
+def compute_neighborhood_features(
+    gcloud: Cloud,
+    neighbors: jax.Array,
+    weights: jax.Array,
+    cfg: Config,
+    compute_normals: bool = False,
+) -> Cloud:
+    """Recompute neighborhood statistics over frozen neighborhoods — the
+    differentiable hot path (reference: preproc.py:195-217). Normals are
+    skipped by default: the consistency losses consume eigenvalues only.
+    """
+    return compute_features(
+        gcloud,
+        neighbors,
+        weights,
+        scale=cfg.nn_scale,
+        compute_normals=compute_normals,
+    )

@@ -1,0 +1,359 @@
+"""Self-supervised training loop.
+
+Re-design of the reference trainer (reference: src/depth_correction/
+train.py:46-327) around a single jitted step:
+
+- preprocessing (per-scan feature clouds, frozen global neighborhoods,
+  trainable-region masks) happens once, producing static-shaped arrays,
+- the hot loop is ``jit(value_and_grad)`` over (model params, pose deltas):
+  depth-correct -> pose-compose -> merge -> re-gather frozen neighborhoods ->
+  weighted cov -> closed-form eigh -> masked loss -> optax update,
+- best-model checkpointing on joint train+val improvement
+  (reference: train.py:244-259), CSV metric logging, callbacks.
+
+The reference re-enters Python and the CPU KD-tree/LAPACK every iteration;
+here iteration i>0 costs one XLA program dispatch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .cloud import Cloud
+from .config import Config, PoseCorrection
+from .loss import create_loss
+from .models import load_model, trainable_mask
+from .preproc import (
+    SequenceBatch,
+    compute_neighborhood_features,
+    establish_neighborhoods,
+    global_cloud,
+    global_cloud_mask,
+    local_feature_cloud,
+    sequence_batch,
+)
+from .utils.checkpoint import save_pytree
+
+__all__ = ["TrainCallbacks", "TrainData", "train", "prepare_sequences", "make_loss_fn",
+           "init_pose_deltas", "make_optimizer"]
+
+
+class TrainCallbacks:
+    """Hook interface (reference: train.py:25-43)."""
+
+    def __init__(self, cfg: Config = None):
+        self.cfg = cfg
+
+    def iteration_started(self, it):
+        pass
+
+    def train_inputs(self, it, data):
+        pass
+
+    def train_loss(self, it, model, pose_deltas, loss):
+        pass
+
+    def val_loss(self, it, model, pose_deltas, loss):
+        pass
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrainData:
+    """Static per-sequence training inputs (frozen across iterations)."""
+
+    batches: tuple  # tuple[SequenceBatch]
+    neighbors: tuple  # tuple[(M, K) int32]
+    weights: tuple  # tuple[(M, K) float]
+    masks: tuple  # tuple[(M,) bool] trainable-region masks
+
+
+def prepare_sequences(datasets, cfg: Config) -> TrainData:
+    """Build per-sequence batches, frozen neighborhoods, and masks
+    (reference: train.py:90-216 without the hot loop)."""
+    batches: List[SequenceBatch] = []
+    neighbors = []
+    weights = []
+    masks = []
+    for ds in datasets:
+        clouds, poses = [], []
+        for scan, pose in ds:
+            clouds.append(local_feature_cloud(scan, cfg))
+            poses.append(np.asarray(pose))
+        batch = sequence_batch(clouds, np.stack(poses))
+        batches.append(batch)
+
+        gcloud = global_cloud(batch)
+        nn, w = establish_neighborhoods(gcloud, cfg)
+        feat = compute_neighborhood_features(gcloud, nn, w, cfg)
+        # Carry the local planar masks into the global mask
+        # (reference: train.py:212-215).
+        local_mask = feat.mask
+        gmask = global_cloud_mask(feat, nn, w, cfg, mask=local_mask)
+        neighbors.append(nn)
+        weights.append(w)
+        masks.append(gmask)
+    return TrainData(
+        batches=tuple(batches),
+        neighbors=tuple(neighbors),
+        weights=tuple(weights),
+        masks=tuple(masks),
+    )
+
+
+def init_pose_deltas(data: TrainData, cfg: Config):
+    """Zero pose corrections per mode (reference: eval.py:31-65).
+
+    Returns a tuple of (1, 6) / (S, 6) arrays, or None for mode none.
+    ``common`` returns a single shared array (weight sharing is expressed by
+    reusing the same leaf for every sequence inside the loss).
+    """
+    dtype = cfg.jax_float_type()
+    mode = cfg.pose_correction
+    if mode == PoseCorrection.none:
+        return None
+    if mode == PoseCorrection.common:
+        return (jnp.zeros((1, 6), dtype),)
+    out = []
+    for batch in data.batches:
+        if mode == PoseCorrection.sequence:
+            out.append(jnp.zeros((1, 6), dtype))
+        elif mode == PoseCorrection.pose:
+            out.append(jnp.zeros((batch.num_scans, 6), dtype))
+        else:
+            raise ValueError(mode)
+    return tuple(out)
+
+
+def _delta_for_seq(pose_deltas, i, mode):
+    if pose_deltas is None:
+        return None
+    if mode == PoseCorrection.common:
+        return pose_deltas[0]
+    return pose_deltas[i]
+
+
+def make_loss_fn(data: TrainData, cfg: Config, loss_fun=None):
+    """Loss of (model, pose_deltas) over all sequences — the jit target.
+
+    Mirrors ``eval_loss_clouds`` (reference: eval.py:85-112) for the
+    map-consistency losses: corrected poses -> global clouds -> features over
+    frozen neighborhoods -> batch loss over sequences.
+    """
+    loss_fun = loss_fun or create_loss(cfg)
+    mode = cfg.pose_correction
+
+    def loss_fn(params):
+        model = params["model"]
+        pose_deltas = params.get("pose_deltas")
+        feats = []
+        for i, batch in enumerate(data.batches):
+            delta = _delta_for_seq(pose_deltas, i, mode)
+            gcloud = global_cloud(batch, model=model, pose_deltas=delta)
+            feat = compute_neighborhood_features(
+                gcloud, data.neighbors[i], data.weights[i], cfg
+            )
+            feats.append(feat)
+        value, _ = loss_fun(list(feats), mask=list(data.masks))
+        return value
+
+    return loss_fn
+
+
+def make_optimizer(cfg: Config):
+    """Optax chain per config (reference uses torch Adam/SGD/LBFGS,
+    train.py:140-148)."""
+    name = cfg.optimizer.lower()
+    kwargs = dict(cfg.optimizer_kwargs or {})
+    if name == "adam":
+        betas = kwargs.pop("betas", (0.9, 0.999))
+        return optax.adam(cfg.lr, b1=betas[0], b2=betas[1], **kwargs)
+    if name == "sgd":
+        return optax.sgd(cfg.lr, **kwargs)
+    if name == "lbfgs":
+        return optax.lbfgs(cfg.lr)
+    raise ValueError("Unknown optimizer: %s" % cfg.optimizer)
+
+
+def _grad_mask(params, cfg: Config):
+    """0/1 pytree marking updatable leaves: frozen exponents
+    (reference: model.py:170) and, for per-pose correction, the first pose
+    (reference: train.py:308-311); model optimization can be disabled
+    entirely (config ``optimize_model``).
+    """
+    tm = trainable_mask(params["model"])
+    mask = {
+        "model": jax.tree_util.tree_map(
+            lambda x, keep: jnp.full_like(x, 1.0 if keep else 0.0),
+            params["model"],
+            tm,
+        )
+    }
+    if not cfg.optimize_model:
+        mask["model"] = jax.tree_util.tree_map(jnp.zeros_like, params["model"])
+    if "pose_deltas" in params and params["pose_deltas"] is not None:
+        deltas_mask = []
+        for d in params["pose_deltas"]:
+            m = jnp.ones_like(d)
+            if cfg.pose_correction == PoseCorrection.pose:
+                m = m.at[0].set(0.0)
+            deltas_mask.append(m)
+        mask["pose_deltas"] = tuple(deltas_mask)
+    return mask
+
+
+def train(
+    cfg: Config,
+    callbacks: Optional[TrainCallbacks] = None,
+    train_datasets: Optional[Sequence] = None,
+    val_datasets: Optional[Sequence] = None,
+):
+    """Train a depth-correction model; returns the best config
+    (reference: train.py:46-327).
+    """
+    from .datasets import create_dataset
+
+    callbacks = callbacks or TrainCallbacks(cfg)
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    cfg.to_yaml(os.path.join(cfg.log_dir, "train.yaml"))
+
+    if not train_datasets:
+        train_datasets = [create_dataset(name, cfg) for name in (cfg.train_names or [])]
+    if not val_datasets:
+        val_datasets = [create_dataset(name, cfg) for name in (cfg.val_names or [])]
+    if not train_datasets:
+        raise ValueError(
+            "No training data: set cfg.train_names or pass train_datasets."
+        )
+
+    loss_fun = create_loss(cfg)
+
+    train_data = prepare_sequences(train_datasets, cfg)
+    val_data = prepare_sequences(val_datasets, cfg) if val_datasets else None
+
+    model = load_model(cfg=cfg)
+    params = {"model": model}
+    train_deltas = init_pose_deltas(train_data, cfg)
+    if train_deltas is not None:
+        params["pose_deltas"] = train_deltas
+
+    train_loss_fn = make_loss_fn(train_data, cfg, loss_fun)
+    tx = make_optimizer(cfg)
+    gmask = _grad_mask(params, cfg)
+    opt_state = tx.init(params)
+
+    # Validation: reuse the common correction from training; optimize
+    # sequence/pose corrections separately (reference: train.py:129-133,
+    # 153-161, 315-322).
+    val_step = None
+    val_params = None
+    val_tx = None
+    val_opt_state = None
+    if val_data is not None:
+        val_loss_core = make_loss_fn(val_data, cfg, loss_fun)
+        if cfg.pose_correction in (PoseCorrection.sequence, PoseCorrection.pose):
+            val_params = {"pose_deltas": init_pose_deltas(val_data, cfg)}
+            val_tx = make_optimizer(cfg)
+            val_opt_state = val_tx.init(val_params)
+
+            @jax.jit
+            def val_step(vparams, vopt_state, model):
+                def fn(vp):
+                    return val_loss_core({"model": model, **vp})
+
+                loss, grads = jax.value_and_grad(fn)(vparams)
+                vmask = _grad_mask({"model": model, **vparams}, cfg)
+                grads = jax.tree_util.tree_map(
+                    lambda g, m: g * m,
+                    grads,
+                    {"pose_deltas": vmask["pose_deltas"]},
+                )
+                updates, vopt_state = val_tx.update(grads, vopt_state, vparams)
+                return loss, optax.apply_updates(vparams, updates), vopt_state
+
+        else:
+
+            def _val_loss(params):
+                p = dict(params)
+                if cfg.pose_correction == PoseCorrection.common:
+                    p = {"model": params["model"], "pose_deltas": params["pose_deltas"]}
+                else:
+                    p = {"model": params["model"]}
+                return val_loss_core(p)
+
+            val_eval = jax.jit(_val_loss)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(train_loss_fn)(params)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, gmask)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    min_train_loss = np.inf
+    min_val_loss = np.inf
+    best_cfg = None
+    history = []
+
+    for it in range(cfg.n_opt_iters):
+        callbacks.iteration_started(it)
+
+        train_loss, new_params, opt_state = step(params, opt_state)
+        callbacks.train_loss(it, params["model"], params.get("pose_deltas"), train_loss)
+
+        if val_data is not None:
+            if val_step is not None:
+                val_loss, val_params, val_opt_state = val_step(
+                    val_params, val_opt_state, params["model"]
+                )
+            else:
+                val_loss = val_eval(params)
+            callbacks.val_loss(it, params["model"], None, val_loss)
+        else:
+            val_loss = train_loss
+
+        train_loss = float(train_loss)
+        val_loss = float(val_loss)
+        history.append((it, train_loss, val_loss))
+
+        saved = False
+        if train_loss < min_train_loss and val_loss < min_val_loss:
+            saved = True
+            min_train_loss = train_loss
+            min_val_loss = val_loss
+            tag = "%03i_%.6g" % (it, val_loss)
+            state_path = save_pytree(
+                os.path.join(cfg.log_dir, "%s_state_dict.npz" % tag), params["model"]
+            )
+            best_cfg = cfg.copy()
+            best_cfg.model_state_dict = state_path
+            if params.get("pose_deltas") is not None:
+                deltas_path = save_pytree(
+                    os.path.join(cfg.log_dir, "%s_pose_deltas.npz" % tag),
+                    params["pose_deltas"],
+                )
+                best_cfg.train_pose_deltas = deltas_path
+            best_cfg.to_yaml(os.path.join(cfg.log_dir, "best.yaml"))
+
+        if cfg.log_filters or it % max(cfg.plot_period, 1) == 0:
+            print(
+                "It. %03i: train loss: %.9f, val.: %.9f.%s"
+                % (it, train_loss, val_loss, " saved" if saved else "")
+            )
+
+        params = new_params
+
+    # CSV history (the flat-file observability channel; the reference logs
+    # to TensorBoard, train.py:271-297).
+    with open(os.path.join(cfg.log_dir, "train_history.csv"), "w") as f:
+        f.write("iter train_loss val_loss\n")
+        for row in history:
+            f.write("%i %.9g %.9g\n" % row)
+
+    return best_cfg
