@@ -1,0 +1,211 @@
+"""Benchmark: self-supervised training step, TPU (this framework) vs the
+reference-style CPU loop.
+
+Workload mirrors the canonical parity configuration (BASELINE.md): a
+multi-view sequence, ball neighborhoods at nn_r, normalized min-eigenvalue
+map-consistency loss, ScaledPolynomial model, Adam — with frozen
+neighborhoods, exactly the amortization the reference training loop uses
+(reference: train.py:166-226).
+
+Measured quantity: wall time of ONE full optimization step
+(model apply -> pose transform -> merge -> neighborhood mean/cov ->
+eigendecomposition -> masked loss -> backward -> Adam update).
+
+- Ours: a single jitted XLA program on the TPU chip.
+- Baseline: a faithful torch float64 CPU implementation of the same step
+  semantics (the reference runs torch float64 on CPU, with LAPACK eigh and
+  autograd re-entered from Python every iteration; config.py:179-180,
+  depth_cloud.py:376-396).
+
+Prints ONE JSON line:
+  {"metric": "train_step_ms", "value": <ours>, "unit": "ms",
+   "vs_baseline": <baseline_ms / ours_ms>}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+STEPS = 20
+WARMUP = 3
+T0 = time.perf_counter()
+
+
+def build_workload():
+    """Synthetic multi-view sequence at ASL-laser-like scale after
+    preprocessing: ~25k points/scan x 6 scans, r = 0.25 m neighborhoods.
+
+    Preprocessing (one-time, not the measured quantity) runs on the host
+    CPU backend with the scipy KD-tree, exactly like the reference's prep;
+    only the hot training step runs on the TPU.
+    """
+    import jax
+
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.train import prepare_sequences
+
+    cfg = Config()
+    cfg.nn_backend = "scipy"
+    cfg.float_type = "float32"
+    cfg.dataset = "open_box"
+    cfg.train_names = ["open_box/n_6_size_20_20_5_height_1_density_400"]
+    cfg.min_depth, cfg.max_depth = 1.0, 25.0
+    cfg.grid_res = 0.1
+    cfg.nn_r, cfg.nn_k = 0.25, 0
+    cfg.nn_max_neighbors = 32
+    cfg.min_valid_neighbors = 5
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = [[0, 1, 0, 0.25], [1, 2, 0.25, 1.0]]
+    cfg.loss = "min_eigval_loss"
+    cfg.loss_kwargs = {"sqrt": False, "normalization": True}
+    cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+    cfg.lr = 2e-4
+
+    ds = create_dataset(cfg.train_names[0], cfg)
+    print("[bench] dataset ready (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
+    cpu = jax.devices("cpu")[0]
+    print("[bench] backends up (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
+    with jax.default_device(cpu):
+        data = prepare_sequences([ds], cfg)
+    print("[bench] sequences prepared (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
+    return cfg, data
+
+
+def to_device(data, device):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), data)
+
+
+def bench_ours(cfg, data) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.train import make_loss_fn
+
+    device = jax.devices()[0]
+    print("[bench] step device: %s" % device, file=sys.stderr)
+    data = to_device(data, device)
+    loss_fn = make_loss_fn(cfg)
+    params = {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))}
+    params = to_device(params, device)
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, data):
+        loss, grads = jax.value_and_grad(loss_fn)(params, data)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    for _ in range(WARMUP):
+        loss, params, opt_state = step(params, opt_state, data)
+    jax.block_until_ready(loss)
+
+    times = []
+    for _ in range(STEPS):
+        t0 = time.perf_counter()
+        loss, params, opt_state = step(params, opt_state, data)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    print(
+        "[bench] ours: final loss %.3e, w %.3e" % (float(loss),
+        float(np.asarray(params["model"].w)[0])),
+        file=sys.stderr,
+    )
+    return float(np.median(times) * 1e3)
+
+
+def bench_torch_baseline(cfg, data, steps: int = 3) -> float:
+    """Reference-style step in torch float64 on CPU.
+
+    Same math, same frozen neighborhoods, implemented the way the reference
+    computes it: dense autograd graph rebuilt per iteration, LAPACK eigh.
+    """
+    import torch
+
+    batch = data.batches[0]
+    nn = torch.as_tensor(np.asarray(data.neighbors[0]), dtype=torch.long)
+    w8 = torch.as_tensor(np.asarray(data.weights[0]), dtype=torch.float64)
+    mask = torch.as_tensor(np.asarray(data.masks[0]))
+    nn = nn.clamp(min=0)
+
+    vps = torch.as_tensor(np.asarray(batch.cloud.vps), dtype=torch.float64)
+    dirs = torch.as_tensor(np.asarray(batch.cloud.dirs), dtype=torch.float64)
+    depth0 = torch.as_tensor(np.asarray(batch.cloud.depth), dtype=torch.float64)
+    inc = torch.as_tensor(np.asarray(batch.cloud.inc_angles), dtype=torch.float64)
+    lmask = torch.as_tensor(np.asarray(batch.cloud.mask))
+    poses = torch.as_tensor(np.asarray(batch.poses), dtype=torch.float64)
+
+    w = torch.zeros(1, dtype=torch.float64, requires_grad=True)
+    opt = torch.optim.Adam([w], lr=cfg.lr)
+
+    def step():
+        bias = inc.pow(4.0) * w
+        depth = torch.where(lmask, depth0 * (1.0 - bias), depth0)
+        pts = vps + depth.unsqueeze(-1) * dirs
+        R = poses[:, :3, :3]
+        t = poses[:, :3, 3]
+        gpts = torch.einsum("snj,sij->sni", pts, R) + t[:, None, :]
+        gpts = gpts.reshape(-1, 3)
+        nbr = gpts[nn]  # (M, K, 3)
+        wsum = w8.sum(dim=1, keepdim=True)
+        mean = (w8.unsqueeze(-1) * nbr).sum(dim=1) / wsum.clamp(min=1e-12)
+        xc = (nbr - mean[:, None, :]) * w8.unsqueeze(-1).sqrt()
+        cov = torch.einsum("mki,mkj->mij", xc, xc) / (wsum - 1).clamp(min=1e-6)[..., None]
+        eigvals = torch.linalg.eigvalsh(cov)
+        loss_pw = eigvals[:, 0] / eigvals.sum(dim=1).clamp(min=1e-6)
+        loss = loss_pw[mask].mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return loss
+
+    step()  # warmup / sanity
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        step()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def main():
+    cfg, data = build_workload()
+    n_points = int(np.asarray(data.masks[0]).size)
+    n_masked = int(np.asarray(data.masks[0]).sum())
+    print(
+        "[bench] workload: %d global points (%d in loss), K=%d"
+        % (n_points, n_masked, int(np.asarray(data.neighbors[0]).shape[1])),
+        file=sys.stderr,
+    )
+
+    ours_ms = bench_ours(cfg, data)
+    print("[bench] ours: %.3f ms/step" % ours_ms, file=sys.stderr)
+
+    baseline_ms = bench_torch_baseline(cfg, data)
+    print("[bench] torch-cpu float64 baseline: %.3f ms/step" % baseline_ms, file=sys.stderr)
+
+    pts_per_sec = n_points / (ours_ms / 1e3)
+    print("[bench] corrected points/sec/chip: %.3g" % pts_per_sec, file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_ms",
+                "value": round(ours_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(baseline_ms / ours_ms, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

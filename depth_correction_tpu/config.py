@@ -142,6 +142,10 @@ class Config(Configurable):
         # Static padding: max neighbors kept per point (fixed K for TPU
         # shapes). None = derive from data at neighborhood establishment.
         self.nn_max_neighbors = None
+        # Neighbor-search backend for (one-time) neighborhood establishment:
+        # None = on-device tiled search; 'scipy' = host cKDTree (the
+        # reference's index), useful for fast prep on strong hosts.
+        self.nn_backend = None
         # RANSAC plane neighborhoods (nn_type == plane).
         self.ransac_model_size = 3
         self.ransac_dist_thresh = 0.03

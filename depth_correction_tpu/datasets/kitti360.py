@@ -1,0 +1,149 @@
+"""KITTI-360 dataset loader (raw velodyne scans + cam0-to-world poses).
+
+File layout and formats follow the reference loader
+(reference: src/depth_correction/datasets/kitti360.py:20-254):
+
+- ``<root>/data_3d_raw/<drive>/velodyne_points/data/%010d.bin`` — float32
+  [x y z intensity] records,
+- ``<root>/data_poses/<drive>/cam0_to_world.txt`` — rows [frame, 16 floats],
+- ``<root>/calibration/calib_cam_to_velo.txt`` — 12 floats (rigid cam->velo),
+- lidar poses = cam0_to_world @ T_lidar2cam (inverse of cam->velo),
+- ego points within +-1 m in x/y are removed (kitti360.py:96-109),
+- names encode windows: ``00_start_102_end_152_step_1``.
+"""
+from __future__ import annotations
+
+import os
+import re
+from copy import copy
+from typing import Optional
+
+import numpy as np
+from numpy.lib.recfunctions import unstructured_to_structured
+
+__all__ = ["Dataset", "dataset_names", "data_dir", "prefix"]
+
+prefix = "kitti360"
+data_dir = os.environ.get(
+    "KITTI360_DATASET",
+    os.path.join(
+        os.environ.get(
+            "DEPTH_CORRECTION_DATA",
+            os.path.join(os.path.dirname(__file__), "..", "..", "data"),
+        ),
+        prefix,
+    ),
+)
+data_dir = os.path.realpath(data_dir)
+
+dataset_names = [
+    "00_start_102_end_152_step_1",
+    "03_start_102_end_152_step_1",
+    "04_start_102_end_152_step_1",
+    "05_start_102_end_152_step_1",
+    "06_start_102_end_152_step_1",
+    "07_start_102_end_152_step_1",
+    "09_start_102_end_152_step_1",
+    "10_start_102_end_152_step_1",
+]
+
+
+def load_rigid_calibration(path: str) -> np.ndarray:
+    """12-float rigid calibration file -> 4x4."""
+    vals = np.genfromtxt(path)
+    T = np.eye(4)
+    T[:3, :4] = np.asarray(vals).reshape(3, 4)
+    return T
+
+
+class Dataset:
+    def __init__(self, name: Optional[str] = None, path: Optional[str] = None,
+                 poses_path: Optional[str] = None, filtered_scans: bool = False,
+                 filter_ego_pts_depth: float = 1.0):
+        step = 1
+        window = slice(None)
+        name = name or "00"
+        m_step = re.search(r"_step_(\d+)", name)
+        m_start = re.search(r"start_(\d+)", name)
+        m_end = re.search(r"end_(\d+)", name)
+        step = int(m_step.group(1)) if m_step else 1
+        window = slice(
+            int(m_start.group(1)) if m_start else None,
+            int(m_end.group(1)) if m_end else None,
+            step,
+        )
+        parts = name.split("/")
+        if len(parts) == 2:
+            assert parts[0] == prefix
+            name = parts[1]
+        seq = int(name.split("_")[0])
+        self.name = name
+        self.drive = "2013_05_28_drive_%04d_sync" % seq
+        self.path = path or data_dir
+        self.filter_ego_pts_depth = filter_ego_pts_depth
+        sub = "data_3d_filtered" if filtered_scans else "data_3d_raw"
+        self.cloud_dir = os.path.join(
+            self.path, sub, self.drive, "velodyne_points", "data"
+        )
+
+        T_cam2lidar = load_rigid_calibration(
+            os.path.join(self.path, "calibration", "calib_cam_to_velo.txt")
+        )
+        self.T_lidar2cam = np.linalg.inv(T_cam2lidar)
+
+        poses_file = poses_path or os.path.join(
+            self.path, "data_poses", self.drive, "cam0_to_world.txt"
+        )
+        data = np.atleast_2d(np.loadtxt(poses_file))
+        ids = data[:, 0].astype(int).tolist()
+        poses = data[:, 1:].reshape((-1, 4, 4)) @ self.T_lidar2cam
+        # Keep only poses with an existing scan (kitti360.py:77-83).
+        if os.path.isdir(self.cloud_dir):
+            have = {int(f[:-4]) for f in os.listdir(self.cloud_dir) if f.endswith(".bin")}
+            keep = [i in have for i in ids]
+            ids = [i for i, k in zip(ids, keep) if k]
+            poses = poses[np.asarray(keep, bool)]
+        self.poses = dict(zip(ids, poses))
+        self.ids = ids[window]
+
+    # --- protocol ------------------------------------------------------
+    def local_cloud_path(self, id):
+        return os.path.join(self.cloud_dir, "%010d.bin" % int(id))
+
+    def local_cloud(self, id):
+        cloud = np.fromfile(self.local_cloud_path(id), dtype=np.float32)
+        cloud = cloud.reshape((-1, 4))
+        if self.filter_ego_pts_depth is not None:
+            d = self.filter_ego_pts_depth
+            keep = (
+                (cloud[:, 0] < -d)
+                | (cloud[:, 0] > d)
+                | (cloud[:, 1] < -d)
+                | (cloud[:, 1] > d)
+            )
+            cloud = cloud[keep]
+        return unstructured_to_structured(cloud[:, :3], names=["x", "y", "z"])
+
+    def cloud_pose(self, id, dtype=np.float64):
+        return self.poses[id].astype(dtype)
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, item):
+        if isinstance(item, (int, np.integer)):
+            id = self.ids[item]
+            return self.local_cloud(id), self.cloud_pose(id)
+        ds = copy(self)
+        if isinstance(item, (list, tuple)):
+            ds.ids = [self.ids[i] for i in item]
+        else:
+            ds.ids = self.ids[item]
+        return ds
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __str__(self):
+        return "%s/%s" % (prefix, self.name)

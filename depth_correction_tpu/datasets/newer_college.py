@@ -1,0 +1,182 @@
+"""Newer College dataset loader (Ouster OS1-64 scans, quaternion pose CSV).
+
+File layout and formats follow the reference loader
+(reference: src/depth_correction/datasets/newer_college.py:20-293):
+
+- ``<root>/<seq>/raw_format/ouster_scan/cloud_<sec>_<nsec>.pcd`` — per-scan
+  PCD; per-point beam-origin viewpoints are offset ~15.8 mm radially from
+  the sensor axis (Ouster optics; newer_college.py:34-42),
+- ``<root>/<seq>/ground_truth/registered_poses.csv`` — rows
+  [sec, nsec, x, y, z, qx, qy, qz, qw],
+- kalibr YAML chain gives T_lidar2cam; poses are cam-frame and re-expressed
+  in the lidar frame (newer_college.py:61-111),
+- names encode windows: ``01_short_experiment/start_0_end_800_step_12``.
+"""
+from __future__ import annotations
+
+import os
+import re
+from copy import copy
+from typing import Optional
+
+import numpy as np
+import yaml
+from numpy.lib.recfunctions import unstructured_to_structured
+from scipy.spatial.transform import Rotation
+
+from ..utils.pcd import read_pcd
+
+__all__ = ["Dataset", "dataset_names", "data_dir", "prefix", "read_points",
+           "read_poses"]
+
+prefix = "newer_college"
+data_dir = os.environ.get(
+    "DEPTH_CORRECTION_DATA",
+    os.path.join(os.path.dirname(__file__), "..", "..", "data"),
+)
+data_dir = os.path.realpath(os.path.join(data_dir, prefix))
+
+sequence_names = ["01_short_experiment"]
+
+# Eight slice windows (reference: newer_college.py:284-293).
+dataset_names = [
+    "01_short_experiment/start_0_end_100_step_2",
+    "01_short_experiment/start_100_end_200_step_2",
+    "01_short_experiment/start_200_end_300_step_2",
+    "01_short_experiment/start_300_end_400_step_2",
+    "01_short_experiment/start_400_end_500_step_2",
+    "01_short_experiment/start_500_end_600_step_2",
+    "01_short_experiment/start_600_end_700_step_2",
+    "01_short_experiment/start_700_end_800_step_2",
+]
+
+# lidar_origin_to_beam_origin, Ouster OS1 software manual (m).
+BEAM_ORIGIN_OFFSET = 0.015806
+
+
+def read_points(path: str, dtype=np.float32, beam_origin_correction=True) -> np.ndarray:
+    """PCD -> structured x/y/z + per-point beam-origin viewpoints."""
+    pcd = read_pcd(path)
+    pts = np.stack([pcd["x"], pcd["y"], pcd["z"]], axis=1).astype(np.float64)
+    vps = np.zeros_like(pts)
+    if beam_origin_correction:
+        dp = np.linalg.norm(pts[:, :2], axis=1)
+        vps[:, :2] = pts[:, :2] * BEAM_ORIGIN_OFFSET / (dp[:, None] + 1e-6)
+    out = np.hstack([pts, vps]).astype(dtype)
+    return unstructured_to_structured(
+        out, names=["x", "y", "z", "vp_x", "vp_y", "vp_z"]
+    )
+
+
+def read_poses(path: str):
+    """registered_poses.csv -> ([(sec, nsec)], (N, 4, 4))."""
+    data = np.atleast_2d(np.genfromtxt(path, delimiter=",", skip_header=1))
+    stamps = [tuple(t) for t in data[:, :2].astype(int)]
+    poses = np.tile(np.eye(4), (len(data), 1, 1))
+    poses[:, :3, :3] = Rotation.from_quat(data[:, 5:9]).as_matrix()
+    poses[:, :3, 3] = data[:, 2:5]
+    return stamps, poses
+
+
+def read_calibration(root: Optional[str] = None) -> Optional[dict]:
+    """kalibr YAML chain -> T_lidar2cam (newer_college.py:61-111)."""
+    root = root or data_dir
+    base = os.path.join(root, "2020-ouster-os1-64-realsense", "04_calibration",
+                        "kalibr_output")
+    try:
+        with open(os.path.join(base, "ouster_imu_lidar_transforms.yaml")) as f:
+            lidar = yaml.safe_load(f)["os1_lidar_to_os1_imu"]
+        T_lidar2imu = np.eye(4)
+        T_lidar2imu[:3, :3] = Rotation.from_quat(lidar["rotation"]).as_matrix()
+        T_lidar2imu[:3, 3] = lidar["translation"]
+        with open(
+            os.path.join(base, "cam-ouster-imu",
+                         "camchain-ouster_imu-cam-rooster_2020-03-11-10-05-35_0.yaml")
+        ) as f:
+            cams = yaml.safe_load(f)
+        T_imu2cam = np.asarray(cams["cam0"]["T_cam_imu"])
+    except (OSError, KeyError):
+        return None
+    T_cam_opt2cam = np.array(
+        [[0.0, 0.0, 1.0, 0.0],
+         [-1.0, 0.0, 0.0, 0.0],
+         [0.0, -1.0, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 1.0]]
+    )
+    return {
+        "T_lidar2lidar_imu": T_lidar2imu,
+        "T_lidar_imu2cam_left": T_imu2cam,
+        "T_cam_opt2cam": T_cam_opt2cam,
+        "T_lidar2cam": T_cam_opt2cam @ T_imu2cam @ T_lidar2imu,
+    }
+
+
+class Dataset:
+    default_poses_csv = "registered_poses.csv"
+
+    def __init__(self, name: str = "01_short_experiment", path: Optional[str] = None,
+                 poses_csv: str = default_poses_csv, poses_path: Optional[str] = None,
+                 zero_origin: bool = False):
+        window = slice(None)
+        parts = name.split("/")
+        if parts and parts[0] == prefix:
+            parts = parts[1:]
+        seq = parts[0] if parts else "01_short_experiment"
+        for token in parts[1:]:
+            m_step = re.search(r"step_(\d+)", token)
+            m_start = re.search(r"start_(\d+)", token)
+            m_end = re.search(r"end_(\d+)", token)
+            window = slice(
+                int(m_start.group(1)) if m_start else None,
+                int(m_end.group(1)) if m_end else None,
+                int(m_step.group(1)) if m_step else None,
+            )
+        self.name = seq
+        self.path = path or os.path.join(data_dir, seq)
+        self.poses_path = poses_path or os.path.join(
+            self.path, "ground_truth", poses_csv
+        )
+        stamps, poses = read_poses(self.poses_path)
+        calib = read_calibration()
+        if calib is not None:
+            # Express cam-frame poses in the lidar frame.
+            poses = poses @ calib["T_lidar2cam"]
+        if zero_origin:
+            poses = np.linalg.inv(poses[0])[None] @ poses
+        self.poses = dict(zip(stamps, poses))
+        self.ids = stamps[window]
+
+    # --- protocol ------------------------------------------------------
+    def local_cloud_path(self, id):
+        sec, nsec = id
+        return os.path.join(
+            self.path, "raw_format", "ouster_scan",
+            "cloud_%d_%09d.pcd" % (sec, nsec),
+        )
+
+    def local_cloud(self, id):
+        return read_points(self.local_cloud_path(id))
+
+    def cloud_pose(self, id):
+        return self.poses[id]
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, item):
+        if isinstance(item, (int, np.integer)):
+            id = self.ids[item]
+            return self.local_cloud(id), self.cloud_pose(id)
+        ds = copy(self)
+        if isinstance(item, (list, tuple)):
+            ds.ids = [self.ids[i] for i in item]
+        else:
+            ds.ids = self.ids[item]
+        return ds
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __str__(self):
+        return "%s/%s" % (prefix, self.name)

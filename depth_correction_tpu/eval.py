@@ -1,0 +1,145 @@
+"""Loss evaluation harness.
+
+Re-design of the reference evaluator (reference: src/depth_correction/
+eval.py:31-211): evaluate a trained model's map-consistency losses on test
+sequences and append results to CSVs with the reference schemas
+(``loss_eval_<loss>[_<subset>].csv`` rows ``"<names> <loss>"``,
+reference: eval.py:182-186, config.py:96-103).
+
+SLAM-in-the-loop evaluation (reference: eval.py:214-263, a roslaunch
+pipeline) is replaced by (a) in-framework localization/mapping metrics
+(:mod:`depth_correction_tpu.metrics`) and (b) a corrected-cloud export
+harness (:mod:`depth_correction_tpu.slam_export`) for external SLAM parity.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, PoseCorrection, loss_eval_csv
+from .loss import create_loss
+from .models import load_model
+from .train import TrainData, init_pose_deltas, make_loss_fn, prepare_sequences
+from .utils.io import append
+
+__all__ = ["eval_loss", "eval_loss_all", "initialize_pose_corrections"]
+
+
+def initialize_pose_corrections(data: TrainData, cfg: Config):
+    """Zero-initialized pose deltas per correction mode
+    (reference: eval.py:31-65)."""
+    return init_pose_deltas(data, cfg)
+
+
+def eval_loss(
+    cfg: Config,
+    test_datasets: Optional[Sequence] = None,
+    model=None,
+    loss_fun=None,
+    test_data: Optional[TrainData] = None,
+    return_data: bool = False,
+):
+    """Evaluate the configured loss on test sequences
+    (reference: eval.py:115-191).
+
+    :return: scalar loss (and the prepared TrainData when ``return_data``).
+    """
+    from .datasets import create_dataset
+
+    if test_datasets:
+        test_names = [str(ds) for ds in test_datasets]
+    else:
+        test_names = list(cfg.test_names or [])
+        test_datasets = [create_dataset(name, cfg) for name in test_names]
+    if not test_datasets:
+        raise ValueError("No test data: set cfg.test_names or pass test_datasets.")
+
+    if model is None:
+        model = load_model(cfg=cfg)
+    loss_fun = loss_fun or create_loss(cfg)
+
+    if test_data is None:
+        test_data = prepare_sequences(test_datasets, cfg)
+
+    params = {"model": model}
+    # Pose deltas: loaded from checkpoint or zero-initialized
+    # (reference: eval.py:163-168).
+    if cfg.pose_correction != PoseCorrection.none:
+        if cfg.test_pose_deltas:
+            from .utils.checkpoint import load_pytree
+
+            loaded = load_pytree(cfg.test_pose_deltas)
+            params["pose_deltas"] = tuple(
+                jnp.asarray(loaded[k]) for k in sorted(loaded)
+            )
+        else:
+            params["pose_deltas"] = init_pose_deltas(test_data, cfg)
+
+    import jax
+
+    loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
+    value = float(jax.jit(loss_fn)(params, test_data))
+
+    print("Test loss on %s: %.9f" % (", ".join(test_names), value))
+    if cfg.loss_eval_csv:
+        append(cfg.loss_eval_csv, "%s %.9f\n" % (",".join(test_names), value))
+
+    if return_data:
+        return value, test_data
+    return value
+
+
+def eval_loss_all(cfg: Config):
+    """Evaluate every configured loss on train/val/test subsets with
+    ground-truth poses (reference: eval.py:194-211)."""
+    results = {}
+    for names, suffix in zip(
+        [cfg.train_names, cfg.val_names, cfg.test_names], ["train", "val", "test"]
+    ):
+        if not names:
+            continue
+        for loss in cfg.eval_losses:
+            if loss == "icp_loss":
+                # ICP eval needs per-scan normals; handled by eval_icp below.
+                continue
+            eval_cfg = cfg.copy()
+            eval_cfg.test_names = list(names)
+            eval_cfg.train_poses_path = []
+            eval_cfg.val_poses_path = []
+            eval_cfg.test_poses_path = []
+            eval_cfg.loss = loss
+            eval_cfg.loss_eval_csv = loss_eval_csv(cfg.log_dir, loss, suffix)
+            results[(suffix, loss)] = eval_loss(eval_cfg)
+    return results
+
+
+def eval_icp(cfg: Config, test_datasets: Optional[Sequence] = None):
+    """ICP point-to-plane/point loss on test sequences with ground-truth
+    poses — the consistency metric over consecutive scan pairs
+    (reference: eval.py:100-104 icp branch)."""
+    from .datasets import create_dataset
+    from .loss import icp_loss
+    from .preproc import local_feature_cloud
+
+    if not test_datasets:
+        test_datasets = [create_dataset(n, cfg) for n in (cfg.test_names or [])]
+    model = load_model(cfg=cfg)
+    seqs = []
+    poses_all = []
+    for ds in test_datasets:
+        clouds, poses = [], []
+        for scan, pose in ds:
+            clouds.append(local_feature_cloud(scan, cfg))
+            poses.append(np.asarray(pose))
+        seqs.append(clouds)
+        poses_all.append(jnp.asarray(np.stack(poses), dtype=cfg.jax_float_type()))
+    value, _ = icp_loss(
+        seqs,
+        poses=poses_all,
+        model=model,
+        icp_point_to_plane=bool(cfg.loss_kwargs.get("icp_point_to_plane", True)),
+        icp_inlier_ratio=float(cfg.loss_kwargs.get("icp_inlier_ratio", 0.3)),
+    )
+    return float(value)

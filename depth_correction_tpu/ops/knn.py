@@ -108,6 +108,24 @@ def _prepare(points, query, valid_points, valid_query, tile):
     return pad_points, query, pad_valid, valid_query, n
 
 
+# Queries are processed in fixed-size chunks so the (Q_chunk, TILE) distance
+# buffer stays small regardless of cloud size; every chunk reuses one
+# compiled program.
+_QUERY_CHUNK = 8192
+
+
+def _chunked(fn, query, *args, **kwargs):
+    q = _pad_rows(query, _QUERY_CHUNK, 0.0)
+    outs = [
+        fn(q[i : i + _QUERY_CHUNK], *args, **kwargs)
+        for i in range(0, q.shape[0], _QUERY_CHUNK)
+    ]
+    n = query.shape[0]
+    if isinstance(outs[0], tuple):
+        return tuple(jnp.concatenate(parts)[:n] for parts in zip(*outs))
+    return jnp.concatenate(outs)[:n]
+
+
 def nearest_neighbors(
     points: jax.Array,
     query: Optional[jax.Array] = None,
@@ -129,7 +147,9 @@ def nearest_neighbors(
     pad_points, query, pad_valid, valid_query, _ = _prepare(
         points, query, valid_points, valid_query, tile
     )
-    d2, idx = _knn_tiled(pad_points, query, pad_valid, k, tile)
+    d2, idx = _chunked(
+        lambda q: _knn_tiled(pad_points, q, pad_valid, k, tile), query
+    )
     if r is not None:
         within = d2 <= jnp.asarray(r, d2.dtype) ** 2
         idx = jnp.where(within, idx, -1)
@@ -200,7 +220,9 @@ def neighbor_counts(
         points, query, valid_points, None, tile
     )
     r2 = jnp.asarray(r, pad_points.dtype) ** 2
-    return _counts_tiled(pad_points, query, pad_valid, r2, tile)
+    return _chunked(
+        lambda q: _counts_tiled(pad_points, q, pad_valid, r2, tile), query
+    )
 
 
 def suggest_k_max(

@@ -139,17 +139,33 @@ def _delta_for_seq(pose_deltas, i, mode):
     return pose_deltas[i]
 
 
-def make_loss_fn(data: TrainData, cfg: Config, loss_fun=None):
+def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
     """Loss of (model, pose_deltas) over all sequences — the jit target.
 
     Mirrors ``eval_loss_clouds`` (reference: eval.py:85-112) for the
     map-consistency losses: corrected poses -> global clouds -> features over
     frozen neighborhoods -> batch loss over sequences.
+
+    Returns ``loss_fn(params, data)``. The static arrays MUST flow through
+    the jit parameter (not a closure): XLA embeds large closure constants as
+    literals, which measured ~7000x slower on TPU for the gather-heavy
+    feature chain.
+
+    Accepts either ``make_loss_fn(cfg)`` or the legacy
+    ``make_loss_fn(data, cfg)`` (where the returned function may still be
+    called as ``loss_fn(params)``, binding that data).
     """
+    bound_data = None
+    if cfg is None:
+        cfg = data_or_cfg
+    else:
+        bound_data = data_or_cfg
     loss_fun = loss_fun or create_loss(cfg)
     mode = cfg.pose_correction
 
-    def loss_fn(params):
+    def loss_fn(params, data: TrainData = None):
+        if data is None:
+            data = bound_data
         model = params["model"]
         pose_deltas = params.get("pose_deltas")
         feats = []
@@ -243,7 +259,7 @@ def train(
     if train_deltas is not None:
         params["pose_deltas"] = train_deltas
 
-    train_loss_fn = make_loss_fn(train_data, cfg, loss_fun)
+    train_loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
     tx = make_optimizer(cfg)
     gmask = _grad_mask(params, cfg)
     opt_state = tx.init(params)
@@ -256,16 +272,16 @@ def train(
     val_tx = None
     val_opt_state = None
     if val_data is not None:
-        val_loss_core = make_loss_fn(val_data, cfg, loss_fun)
+        val_loss_core = make_loss_fn(cfg, loss_fun=loss_fun)
         if cfg.pose_correction in (PoseCorrection.sequence, PoseCorrection.pose):
             val_params = {"pose_deltas": init_pose_deltas(val_data, cfg)}
             val_tx = make_optimizer(cfg)
             val_opt_state = val_tx.init(val_params)
 
             @jax.jit
-            def val_step(vparams, vopt_state, model):
+            def val_step(vparams, vopt_state, model, vdata):
                 def fn(vp):
-                    return val_loss_core({"model": model, **vp})
+                    return val_loss_core({"model": model, **vp}, vdata)
 
                 loss, grads = jax.value_and_grad(fn)(vparams)
                 vmask = _grad_mask({"model": model, **vparams}, cfg)
@@ -279,19 +295,18 @@ def train(
 
         else:
 
-            def _val_loss(params):
-                p = dict(params)
+            def _val_loss(params, vdata):
                 if cfg.pose_correction == PoseCorrection.common:
                     p = {"model": params["model"], "pose_deltas": params["pose_deltas"]}
                 else:
                     p = {"model": params["model"]}
-                return val_loss_core(p)
+                return val_loss_core(p, vdata)
 
             val_eval = jax.jit(_val_loss)
 
     @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(train_loss_fn)(params)
+    def step(params, opt_state, data):
+        loss, grads = jax.value_and_grad(train_loss_fn)(params, data)
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, gmask)
         updates, opt_state = tx.update(grads, opt_state, params)
         return loss, optax.apply_updates(params, updates), opt_state
@@ -304,16 +319,16 @@ def train(
     for it in range(cfg.n_opt_iters):
         callbacks.iteration_started(it)
 
-        train_loss, new_params, opt_state = step(params, opt_state)
+        train_loss, new_params, opt_state = step(params, opt_state, train_data)
         callbacks.train_loss(it, params["model"], params.get("pose_deltas"), train_loss)
 
         if val_data is not None:
             if val_step is not None:
                 val_loss, val_params, val_opt_state = val_step(
-                    val_params, val_opt_state, params["model"]
+                    val_params, val_opt_state, params["model"], val_data
                 )
             else:
-                val_loss = val_eval(params)
+                val_loss = val_eval(params, val_data)
             callbacks.val_loss(it, params["model"], None, val_loss)
         else:
             val_loss = train_loss

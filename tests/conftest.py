@@ -24,5 +24,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Single-core sandboxes make XLA compiles the dominant test cost; cache them.
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_dctpu"))
+# Separate cache per platform: AOT CPU results from another process (e.g. the
+# TPU bench, which detects different host features) must not be loaded here.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_dctpu_cpu")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

@@ -1,0 +1,97 @@
+"""kitti360 / newer_college loaders and the PCD reader."""
+import numpy as np
+
+
+def test_pcd_reader_ascii_and_binary(tmp_path):
+    from depth_correction_tpu.utils.pcd import read_pcd
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (20, 3)).astype(np.float32)
+    header = (
+        "# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+        "COUNT 1 1 1\nWIDTH 20\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 20\n"
+    )
+    ascii_path = tmp_path / "a.pcd"
+    with open(ascii_path, "w") as f:
+        f.write(header + "DATA ascii\n")
+        for p in pts:
+            f.write("%.6f %.6f %.6f\n" % tuple(p))
+    out = read_pcd(str(ascii_path))
+    np.testing.assert_allclose(out["x"], pts[:, 0], atol=1e-5)
+
+    bin_path = tmp_path / "b.pcd"
+    with open(bin_path, "wb") as f:
+        f.write((header + "DATA binary\n").encode())
+        f.write(pts.tobytes())
+    out = read_pcd(str(bin_path))
+    np.testing.assert_allclose(out["z"], pts[:, 2])
+
+
+def test_kitti360_loader(tmp_path, monkeypatch):
+    import depth_correction_tpu.datasets.kitti360 as k3
+
+    monkeypatch.setattr(k3, "data_dir", str(tmp_path))
+    drive = "2013_05_28_drive_0000_sync"
+    (tmp_path / "data_3d_raw" / drive / "velodyne_points" / "data").mkdir(parents=True)
+    (tmp_path / "data_poses" / drive).mkdir(parents=True)
+    (tmp_path / "calibration").mkdir(parents=True)
+    # cam->velo calibration: a fixed rigid transform.
+    T_c2v = np.eye(4)
+    T_c2v[:3, 3] = [0.1, -0.2, 0.3]
+    (tmp_path / "calibration" / "calib_cam_to_velo.txt").write_text(
+        " ".join("%.9f" % x for x in T_c2v[:3].ravel())
+    )
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(4):
+        # Include ego points (|x|,|y| < 1) that must be dropped.
+        far = rng.uniform(2, 10, (30, 4)).astype(np.float32)
+        ego = np.asarray([[0.1, 0.1, 0.0, 1.0]], np.float32)
+        np.concatenate([far, ego]).tofile(
+            tmp_path / "data_3d_raw" / drive / "velodyne_points" / "data" / ("%010d.bin" % i)
+        )
+        T = np.eye(4)
+        T[:3, 3] = [i, 0, 0]
+        rows.append("%d %s" % (i, " ".join("%.9f" % x for x in T.ravel())))
+    (tmp_path / "data_poses" / drive / "cam0_to_world.txt").write_text("\n".join(rows))
+
+    ds = k3.Dataset("kitti360/00_start_1_end_3_step_1")
+    assert len(ds) == 2
+    cloud, pose = ds[0]
+    assert len(cloud) == 30  # ego point removed
+    expected = np.eye(4)
+    expected[:3, 3] = [1, 0, 0]
+    np.testing.assert_allclose(pose, expected @ np.linalg.inv(T_c2v), atol=1e-7)
+
+
+def test_newer_college_loader(tmp_path, monkeypatch):
+    import depth_correction_tpu.datasets.newer_college as nc
+
+    monkeypatch.setattr(nc, "data_dir", str(tmp_path))
+    seq = tmp_path / "01_short_experiment"
+    (seq / "raw_format" / "ouster_scan").mkdir(parents=True)
+    (seq / "ground_truth").mkdir(parents=True)
+
+    rng = np.random.default_rng(4)
+    rows = ["sec,nsec,x,y,z,qx,qy,qz,qw"]
+    for i in range(3):
+        pts = rng.uniform(-8, 8, (25, 3)).astype(np.float32)
+        path = seq / "raw_format" / "ouster_scan" / ("cloud_%d_%09d.pcd" % (100 + i, 5))
+        header = (
+            "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+            "WIDTH 25\nHEIGHT 1\nPOINTS 25\nDATA binary\n"
+        )
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            f.write(pts.tobytes())
+        rows.append("%d,%d,%f,%f,%f,0,0,0,1" % (100 + i, 5, i, 0.0, 0.0))
+    (seq / "ground_truth" / "registered_poses.csv").write_text("\n".join(rows) + "\n")
+
+    ds = nc.Dataset("newer_college/01_short_experiment/start_0_end_3_step_1")
+    assert len(ds) == 3
+    cloud, pose = ds[1]
+    assert "vp_x" in cloud.dtype.names
+    # Beam-origin viewpoints sit ~15.8 mm from the axis, radially in xy.
+    vp_r = np.hypot(cloud["vp_x"], cloud["vp_y"])
+    np.testing.assert_allclose(vp_r, nc.BEAM_ORIGIN_OFFSET, rtol=1e-3)
+    np.testing.assert_allclose(pose[0, 3], 1.0, atol=1e-9)

@@ -1,0 +1,110 @@
+"""Evaluation harness, online-corrector node, metrics, and CLI."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from depth_correction_tpu.config import Config
+
+
+def small_cfg(tmp_path):
+    cfg = Config()
+    cfg.log_dir = str(tmp_path / "log")
+    cfg.train_names = ["ground_plane/4"]
+    cfg.test_names = ["ground_plane/4"]
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 20.0, 0.25
+    cfg.nn_r, cfg.nn_k = 0.4, 0
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = []
+    cfg.min_valid_neighbors = 3
+    cfg.model_kwargs = {"w": [0.0], "exponent": [4.0]}
+    cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+    cfg.loss_kwargs = {"sqrt": False, "normalization": False}
+    return cfg
+
+
+def test_eval_loss_writes_csv(tmp_path):
+    from depth_correction_tpu.eval import eval_loss
+
+    cfg = small_cfg(tmp_path)
+    cfg.loss_eval_csv = str(tmp_path / "loss_eval_min_eigval_loss.csv")
+    val = eval_loss(cfg)
+    assert np.isfinite(val) and val > 0
+    line = open(cfg.loss_eval_csv).read().strip()
+    name, num = line.split()
+    assert name == "ground_plane/4"
+    # CSV keeps the reference's %.9f schema (eval.py:184), which quantizes.
+    np.testing.assert_allclose(float(num), val, atol=1e-9)
+    # Appends, not truncates (lock-file guarded).
+    eval_loss(cfg)
+    assert len(open(cfg.loss_eval_csv).read().strip().splitlines()) == 2
+
+
+def test_corrector_node_roundtrip(tmp_path):
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.node import DepthCorrector
+
+    cfg = small_cfg(tmp_path)
+    cfg.grid_res = 0.0  # node does its own (hashed) grid filtering when set
+    ds = create_dataset("ground_plane/4", cfg, noisy=False)
+    scan, _ = ds[0]
+
+    model = ScaledPolynomial(w=jnp.asarray([-0.002]), exponent=jnp.asarray([4.0]))
+    node = DepthCorrector(cfg, model=model)
+    out = node.process(scan)
+    assert out is not None and len(out) > 100
+    assert set(out.dtype.names) >= {"x", "y", "z", "normal_x", "mask"}
+    # Stale scans are dropped by age gating.
+    node_aged = DepthCorrector(cfg, model=model, max_age=0.001)
+    assert node_aged.process(scan, stamp=0.0) is None
+
+
+def test_localization_errors_identity_and_known_offset():
+    from depth_correction_tpu.metrics import localization_errors
+    from depth_correction_tpu.ops.se3 import xyz_axis_angle_to_matrix
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.standard_normal((5, 3)), 0.3 * rng.standard_normal((5, 3))], 1)
+    T = np.asarray(xyz_axis_angle_to_matrix(jnp.asarray(x)))
+    a, t, ra, rt = localization_errors(jnp.asarray(T), jnp.asarray(T))
+    np.testing.assert_allclose(np.asarray(a), 0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rt), 0, atol=1e-9)
+    # Constant world-frame offset (D @ T): relative errors cancel exactly;
+    # the absolute rotation error equals D's angle (conjugation-invariant).
+    D = np.asarray(
+        xyz_axis_angle_to_matrix(jnp.asarray([0.1, 0.0, 0.0, 0.0, 0.0, 0.05]))
+    )
+    a, t, ra, rt = localization_errors(jnp.asarray(T), jnp.asarray(D @ T))
+    np.testing.assert_allclose(np.asarray(a), 0.05, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ra), 0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rt), 0, atol=1e-9)
+
+
+def test_chamfer_and_mapping_accuracy():
+    from depth_correction_tpu.metrics import chamfer_distance, mapping_accuracy
+
+    rng = np.random.default_rng(1)
+    y = rng.uniform(0, 5, (500, 3))
+    shift = np.array([0.02, 0.0, 0.0])
+    x = y[:300] + shift
+    d = float(chamfer_distance(jnp.asarray(x), jnp.asarray(y)))
+    assert 0 < d <= 0.02 + 1e-9
+    m = float(mapping_accuracy(jnp.asarray(x), jnp.asarray(y), icp_inlier_ratio=0.8))
+    assert 0 < m <= 0.02 + 1e-9
+
+
+def test_cli_print_config_and_splits(capsys, tmp_path):
+    from depth_correction_tpu.main import create_splits, main
+
+    main(["--lr", "0.01", "--", "print_config"])
+    out = capsys.readouterr().out
+    assert "lr: 0.01" in out
+
+    splits = create_splits(["a", "b", "c", "d"], num_splits=4)
+    assert len(splits) == 4
+    for s in splits:
+        assert len(s["train_names"]) == 2
+        assert s["val_names"][0] not in s["train_names"]
+        assert s["test_names"][0] not in s["train_names"]
+        assert s["val_names"] != s["test_names"]
