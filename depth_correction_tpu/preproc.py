@@ -336,10 +336,20 @@ def establish_neighborhoods(
 
     :return: (neighbors (M, K) int32, weights (M, K) float).
     """
-    if cfg.nn_type != NeighborhoodType.ball:
-        raise NotImplementedError(
-            "plane neighborhoods arrive with the RANSAC module"
+    if cfg.nn_type == NeighborhoodType.plane:
+        # RANSAC plane neighborhoods (reference: preproc.py:186-191).
+        from .segmentation import fit_planes
+
+        planes = fit_planes(
+            gcloud,
+            cfg.ransac_dist_thresh,
+            min_support=cfg.min_valid_neighbors,
+            max_iterations=cfg.num_ransac_iters,
+            max_models=cfg.max_neighborhoods or 10,
+            eps=2.0 * np.sqrt(3.0) * cfg.grid_res,
+            seed=cfg.random_seed,
         )
+        return planes.orient(gcloud.vps), None
     points = gcloud.get_points()
     if getattr(cfg, "nn_backend", None) == "scipy":
         return _host_neighbors(points, gcloud.valid, cfg, k_max=k_max)

@@ -77,6 +77,9 @@ class TrainData:
 def prepare_sequences(datasets, cfg: Config) -> TrainData:
     """Build per-sequence batches, frozen neighborhoods, and masks
     (reference: train.py:90-216 without the hot loop)."""
+    from .config import NeighborhoodType
+
+    plane_mode = cfg.nn_type == NeighborhoodType.plane
     batches: List[SequenceBatch] = []
     neighbors = []
     weights = []
@@ -84,12 +87,27 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     for ds in datasets:
         clouds, poses = [], []
         for scan, pose in ds:
-            clouds.append(local_feature_cloud(scan, cfg))
+            if plane_mode:
+                # Plane mode consumes raw clouds; incidence angles come from
+                # the plane normals later (reference: train.py:98-101).
+                from .cloud import Cloud as _Cloud
+                from .preproc import pad_size
+
+                c = _Cloud.from_structured_array(scan, dtype=cfg.numpy_float_type())
+                clouds.append(c.pad(pad_size(c.size)))
+            else:
+                clouds.append(local_feature_cloud(scan, cfg))
             poses.append(np.asarray(pose))
         batch = sequence_batch(clouds, np.stack(poses))
         batches.append(batch)
 
         gcloud = global_cloud(batch)
+        if plane_mode:
+            planes, _ = establish_neighborhoods(gcloud, cfg)
+            neighbors.append(planes)
+            weights.append(None)
+            masks.append(planes.valid)
+            continue
         nn, w = establish_neighborhoods(gcloud, cfg)
         feat = compute_neighborhood_features(gcloud, nn, w, cfg)
         # Carry the local planar masks into the global mask
@@ -163,6 +181,10 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
     loss_fun = loss_fun or create_loss(cfg)
     mode = cfg.pose_correction
 
+    from .config import NeighborhoodType
+
+    plane_mode = cfg.nn_type == NeighborhoodType.plane
+
     def loss_fn(params, data: TrainData = None):
         if data is None:
             data = bound_data
@@ -171,10 +193,20 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
         feats = []
         for i, batch in enumerate(data.batches):
             delta = _delta_for_seq(pose_deltas, i, mode)
-            gcloud = global_cloud(batch, model=model, pose_deltas=delta)
-            feat = compute_neighborhood_features(
-                gcloud, data.neighbors[i], data.weights[i], cfg
-            )
+            if plane_mode:
+                # Model applies inside the plane features (plane normals
+                # supply the incidence angles; reference: eval.py:95-96).
+                from .segmentation import plane_neighborhood_features
+
+                gcloud = global_cloud(batch, model=None, pose_deltas=delta)
+                feat = plane_neighborhood_features(
+                    gcloud, data.neighbors[i], model, cfg
+                )
+            else:
+                gcloud = global_cloud(batch, model=model, pose_deltas=delta)
+                feat = compute_neighborhood_features(
+                    gcloud, data.neighbors[i], data.weights[i], cfg
+                )
             feats.append(feat)
         value, _ = loss_fun(list(feats), mask=list(data.masks))
         return value
