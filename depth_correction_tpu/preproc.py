@@ -177,37 +177,68 @@ def local_feature_cloud(
 
 
 def _host_neighbors(points, valid, cfg: Config, k_max: Optional[int] = None):
-    """scipy cKDTree neighbor path (host-side prep alternative).
-
-    Exactly the reference's index (nearest_neighbors.py:22-80); useful for
-    fast preprocessing on beefy hosts and as a parity oracle. The returned
-    padded index/weight matrices feed the same on-device hot loop.
+    """Host-side KD-tree neighbor path (prep alternative to the on-device
+    tiled search): 'native' uses the C++ runtime (native/dc_native.cpp),
+    'scipy' the reference's index (nearest_neighbors.py:22-80). Both return
+    the same padded index/weight matrices that feed the on-device hot loop.
     """
-    from scipy.spatial import cKDTree
-
     pts = np.asarray(points, np.float64)
     val = np.asarray(valid)
     n = len(pts)
     idx_valid = np.flatnonzero(val)
-    tree = cKDTree(pts[idx_valid])
-    if cfg.nn_k:
-        kw = {"distance_upper_bound": cfg.nn_r} if cfg.nn_r else {}
-        _, ind = tree.query(pts, k=int(cfg.nn_k), workers=-1, **kw)
-        ind = np.atleast_2d(ind)
-        miss = ind == tree.n
-        ind = np.where(miss, 0, ind)
-        out = idx_valid[ind]
-        out[miss] = -1
+
+    use_native = False
+    if cfg.nn_backend == "native":
+        from .utils import native
+
+        use_native = native.available()
+        if not use_native:
+            print("native backend unavailable, falling back to scipy")
+
+    if use_native:
+        from .utils.native import KDTree
+
+        tree = KDTree(pts[idx_valid])
+        if cfg.nn_k:
+            _, ind = tree.query(
+                pts, k=int(cfg.nn_k), distance_upper_bound=cfg.nn_r or -1.0
+            )
+            miss = ind < 0
+            out = idx_valid[np.where(miss, 0, ind)]
+            out[miss] = -1
+        else:
+            k = int(k_max or cfg.nn_max_neighbors or 0)
+            if not k:
+                # One counting pass to size K, then the real query.
+                _, counts = tree.query_ball(pts[val], cfg.nn_r, 1)
+                k = max(int(counts.max()), 1)
+                k = -(-k // 8) * 8
+            ind, _ = tree.query_ball(pts, cfg.nn_r, k)
+            miss = ind < 0
+            out = idx_valid[np.where(miss, 0, ind)]
+            out[miss] = -1
     else:
-        balls = tree.query_ball_point(pts, cfg.nn_r, workers=-1)
-        k = k_max or cfg.nn_max_neighbors or max(
-            (len(b) for b, v in zip(balls, val) if v), default=1
-        )
-        out = np.full((n, int(k)), -1, np.int64)
-        for i, b in enumerate(balls):
-            if val[i]:
-                b = b[: int(k)]
-                out[i, : len(b)] = idx_valid[b]
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(pts[idx_valid])
+        if cfg.nn_k:
+            kw = {"distance_upper_bound": cfg.nn_r} if cfg.nn_r else {}
+            _, ind = tree.query(pts, k=int(cfg.nn_k), workers=-1, **kw)
+            ind = np.atleast_2d(ind)
+            miss = ind == tree.n
+            ind = np.where(miss, 0, ind)
+            out = idx_valid[ind]
+            out[miss] = -1
+        else:
+            balls = tree.query_ball_point(pts, cfg.nn_r, workers=-1)
+            k = k_max or cfg.nn_max_neighbors or max(
+                (len(b) for b, v in zip(balls, val) if v), default=1
+            )
+            out = np.full((n, int(k)), -1, np.int64)
+            for i, b in enumerate(balls):
+                if val[i]:
+                    b = b[: int(k)]
+                    out[i, : len(b)] = idx_valid[b]
     out[~val] = -1
     idx = jnp.asarray(out, jnp.int32)
     weights = (idx >= 0).astype(jnp.asarray(points).dtype)
@@ -217,7 +248,7 @@ def _host_neighbors(points, valid, cfg: Config, k_max: Optional[int] = None):
 def establish_scan_neighbors(cloud: Cloud, cfg: Config):
     """Neighbor graph of a single cloud per config (kNN or ball radius)."""
     points = cloud.get_points()
-    if getattr(cfg, "nn_backend", None) == "scipy":
+    if getattr(cfg, "nn_backend", None) in ("scipy", "native"):
         return _host_neighbors(points, cloud.valid, cfg)
     if cfg.nn_k:
         dist, idx = nearest_neighbors(
@@ -351,7 +382,7 @@ def establish_neighborhoods(
         )
         return planes.orient(gcloud.vps), None
     points = gcloud.get_points()
-    if getattr(cfg, "nn_backend", None) == "scipy":
+    if getattr(cfg, "nn_backend", None) in ("scipy", "native"):
         return _host_neighbors(points, gcloud.valid, cfg, k_max=k_max)
     if cfg.nn_k:
         _, idx = nearest_neighbors(

@@ -1,0 +1,102 @@
+"""Native C++ runtime (KD-tree, voxel grid) vs scipy/numpy oracles."""
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from depth_correction_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library build unavailable"
+)
+
+
+def test_native_knn_matches_scipy():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 10, (800, 3))
+    q = rng.uniform(0, 10, (200, 3))
+    tree = native.KDTree(pts)
+    dist, idx = tree.query(q, k=6)
+    ref = cKDTree(pts)
+    d_ref, i_ref = ref.query(q, k=6)
+    np.testing.assert_allclose(dist, d_ref, atol=1e-12)
+    # Ties (if any) may permute equal-distance entries; compare distances of
+    # gathered points instead of raw index equality.
+    got = np.linalg.norm(pts[idx] - q[:, None], axis=-1)
+    np.testing.assert_allclose(np.sort(got, 1), np.sort(d_ref, 1), atol=1e-12)
+
+
+def test_native_knn_radius_bound():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 5, (400, 3))
+    q = rng.uniform(0, 5, (100, 3))
+    r = 0.6
+    tree = native.KDTree(pts)
+    dist, idx = tree.query(q, k=4, distance_upper_bound=r)
+    ref = cKDTree(pts)
+    d_ref, i_ref = ref.query(q, k=4, distance_upper_bound=r)
+    miss_ref = i_ref == ref.n
+    np.testing.assert_array_equal(idx < 0, miss_ref)
+    np.testing.assert_allclose(dist[~miss_ref], d_ref[~miss_ref], atol=1e-12)
+    assert np.all(np.isinf(dist[miss_ref]))
+
+
+def test_native_radius_sets_match_scipy():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(0, 4, (300, 3))
+    r = 0.8
+    tree = native.KDTree(pts)
+    ref = cKDTree(pts)
+    balls = ref.query_ball_point(pts, r)
+    k_max = max(len(b) for b in balls)
+    idx, counts = tree.query_ball(pts, r, k_max)
+    np.testing.assert_array_equal(counts, [len(b) for b in balls])
+    for row, ball in zip(idx, balls):
+        assert set(int(i) for i in row if i >= 0) == set(ball)
+    # Sorted by distance.
+    d0 = np.linalg.norm(pts[idx[0][idx[0] >= 0]] - pts[0], axis=1)
+    assert np.all(np.diff(d0) >= -1e-12)
+
+
+def test_native_voxel_grid_matches_python():
+    from depth_correction_tpu.ops.filters import filter_grid_indices
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 3, (1000, 3))
+    rank = np.random.default_rng(135).permutation(1000)
+    got = native.voxel_grid(pts, 0.25, rank=rank)
+    # Python oracle: same rank-min-per-voxel semantics.
+    keys = np.floor(pts / 0.25).astype(np.int64)
+    best = {}
+    for i, k in enumerate(map(tuple, keys)):
+        if k not in best or rank[i] < rank[best[k]]:
+            best[k] = i
+    expected = np.sort(list(best.values()))
+    np.testing.assert_array_equal(got, expected)
+    # And the same selection as the numpy implementation given equal ranks:
+    # filter_grid_indices uses a seeded permutation internally with the same
+    # default seed.
+    ref = filter_grid_indices(pts, 0.25, keep="random",
+                              rng=np.random.default_rng(135))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_native_neighbors_backend_in_preproc():
+    import jax.numpy as jnp
+
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.preproc import establish_scan_neighbors
+
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(0, 3, (256, 3))
+    cloud = Cloud.from_points(pts).with_points()
+    cfg = Config()
+    cfg.nn_r, cfg.nn_k = 0.5, 0
+    cfg.nn_backend = "native"
+    idx_n, w_n = establish_scan_neighbors(cloud, cfg)
+    cfg.nn_backend = "scipy"
+    idx_s, w_s = establish_scan_neighbors(cloud, cfg)
+    # Same neighbor sets row by row (padding may differ in width).
+    a, b = np.asarray(idx_n), np.asarray(idx_s)
+    for ra, rb in zip(a, b):
+        assert set(ra[ra >= 0].tolist()) == set(rb[rb >= 0].tolist())
