@@ -100,6 +100,11 @@ def _knn_tiled(
 def _prepare(points, query, valid_points, valid_query, tile):
     points = jnp.asarray(points)
     query = points if query is None else jnp.asarray(query)
+    # Mixed-precision callers (e.g. f64 poses transforming f32 clouds) must
+    # not change the scan carry dtype mid-body.
+    common = jnp.result_type(points.dtype, query.dtype)
+    points = points.astype(common)
+    query = query.astype(common)
     if valid_points is None:
         valid_points = jnp.ones(points.shape[0], dtype=bool)
     n = points.shape[0]

@@ -1,0 +1,224 @@
+"""SLAM-style evaluation without ROS.
+
+The reference evaluates localization drift by spinning a roslaunch pipeline
+(robot_data replayer -> filters -> correction node -> norlab_icp_mapper C++
+SLAM -> TF lookback; reference: src/depth_correction/eval.py:214-263,
+scripts/robot_data:123-205). This module replaces that with:
+
+- an in-process scan-to-map ICP odometry (point-to-plane, on-device kNN
+  correspondences) run over corrected clouds — the localization-drift
+  metric without an external SLAM stack,
+- odometry noise injection mirroring robot_data's perturbed odometry
+  (scripts/robot_data:123-151),
+- CSV outputs with the reference schemas
+  (``slam_eval_<slam>.csv``: "<name> <r_angle> <t_norm> <rel_angle>
+  <rel_offset>"; ``slam_poses_<slam>.csv``: 4x4 rows),
+- an export harness writing corrected clouds + poses to disk for parity
+  runs with the real external SLAM elsewhere.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cloud import Cloud
+from .config import Config, slam_eval_csv, slam_poses_csv
+from .metrics import localization_errors
+from .models import load_model
+from .ops.knn import nearest_neighbors
+from .ops.reduce import masked_mean, masked_quantile
+from .ops.se3 import (
+    delta_transform,
+    transform_inv,
+    transform_points,
+    xyz_axis_angle_to_matrix,
+)
+from .preproc import local_feature_cloud
+from .utils.io import append
+
+__all__ = ["icp_align", "slam_odometry", "eval_slam", "export_corrected_clouds"]
+
+
+def _icp_step(src_pts, src_valid, tgt_pts, tgt_normals, tgt_valid, inlier_ratio):
+    """One Gauss-Newton point-to-plane step: solve J^T J dx = J^T r for the
+    6-DoF twist (standard small-angle linearization)."""
+    dists, idx = nearest_neighbors(tgt_pts, src_pts, k=1, valid_points=tgt_valid)
+    d = dists[:, 0]
+    i = jnp.maximum(idx[:, 0], 0)
+    ok = (idx[:, 0] >= 0) & src_valid
+    thr = masked_quantile(d, ok, inlier_ratio)
+    w = (ok & (d <= thr)).astype(src_pts.dtype)
+
+    q = tgt_pts[i]
+    n = tgt_normals[i]
+    r = jnp.sum(n * (q - src_pts), axis=-1)  # residual along target normal
+    J = jnp.concatenate([jnp.cross(src_pts, n), n], axis=-1)  # (N, 6)
+    Jw = J * w[:, None]
+    H = Jw.T @ J + 1e-9 * jnp.eye(6, dtype=src_pts.dtype)
+    g = Jw.T @ r
+    dx = jnp.linalg.solve(H, g)
+    # Twist -> SE(3): [rot, trans] ordering in J => [trans, rot] for our 6-vec.
+    delta = xyz_axis_angle_to_matrix(jnp.concatenate([dx[3:], dx[:3]]))
+    err = masked_mean(jnp.abs(r), w > 0)
+    return delta, err
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def _icp_align_jit(src_pts, src_valid, tgt_pts, tgt_normals, tgt_valid,
+                   T0, n_iters, inlier_ratio):
+    def body(T, _):
+        cur = transform_points(T, src_pts)
+        delta, err = _icp_step(cur, src_valid, tgt_pts, tgt_normals, tgt_valid,
+                               inlier_ratio)
+        return delta @ T, err
+    if n_iters == 0:
+        return T0, jnp.asarray(jnp.inf, T0.dtype)
+    T, errs = jax.lax.scan(body, T0, None, length=n_iters)
+    return T, errs[-1]
+
+
+def icp_align(source: Cloud, target: Cloud, T0=None, n_iters: int = 10,
+              inlier_ratio: float = 0.8):
+    """Align source onto target (point-to-plane ICP). Target needs normals.
+
+    :return: (T (4, 4) world transform of source, final inlier error).
+    """
+    assert target.normals is not None
+    dtype = jnp.result_type(source.depth.dtype, target.get_points().dtype)
+    T0 = jnp.eye(4, dtype=dtype) if T0 is None else jnp.asarray(T0, dtype)
+    return _icp_align_jit(
+        source.get_points().astype(dtype),
+        source.valid,
+        target.get_points().astype(dtype),
+        target.normals.astype(dtype),
+        target.valid,
+        T0,
+        n_iters,
+        inlier_ratio,
+    )
+
+
+def perturb_odometry(poses: np.ndarray, cov_diag, seed: int = 135) -> np.ndarray:
+    """Noisy odometry chain: perturb consecutive increments with Gaussian
+    noise of the given 6-vector variance (rx ry rz tx ty tz), then re-chain
+    (reference: scripts/robot_data:123-151)."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    std = np.sqrt(np.asarray(cov_diag, np.float64))
+    out = [poses[0]]
+    for i in range(1, len(poses)):
+        inc = np.asarray(delta_transform(jnp.asarray(poses[i - 1]), jnp.asarray(poses[i])))
+        noise_vec = std * rng.normal(size=6)
+        N = np.eye(4)
+        N[:3, :3] = Rotation.from_euler("xyz", noise_vec[:3]).as_matrix()
+        N[:3, 3] = noise_vec[3:]
+        out.append(out[-1] @ inc @ N)
+    return np.stack(out)
+
+
+def slam_odometry(clouds: Sequence[Cloud], init_poses: np.ndarray,
+                  n_iters: int = 8, inlier_ratio: float = 0.8):
+    """Scan-to-previous-scan ICP odometry over (corrected) feature clouds.
+
+    Each scan is registered against the previous one starting from the
+    odometry prior; the chained transforms are the SLAM trajectory estimate.
+    """
+    est = [np.asarray(init_poses[0])]
+    for i in range(1, len(clouds)):
+        prior = est[-1] @ np.asarray(
+            delta_transform(jnp.asarray(init_poses[i - 1]), jnp.asarray(init_poses[i]))
+        )
+        # Register scan i against scan i-1 placed at its estimate.
+        target = clouds[i - 1].transform(jnp.asarray(est[-1])).with_points()
+        T, _ = icp_align(clouds[i], target, T0=prior, n_iters=n_iters,
+                         inlier_ratio=inlier_ratio)
+        est.append(np.asarray(T))
+    return np.stack(est)
+
+
+def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
+              apply_correction: bool = True):
+    """Localization-drift evaluation (replaces the roslaunch pipeline,
+    reference: eval.py:214-263): replay scans with noisy odometry, run ICP
+    odometry over (corrected) clouds, compare against ground truth, append
+    the reference-schema CSVs.
+
+    :return: dict name -> (mean_r_angle, mean_t_norm, mean_rel_angle,
+        mean_rel_offset).
+    """
+    from .datasets import create_dataset
+
+    if not test_datasets:
+        test_datasets = [create_dataset(n, cfg) for n in (cfg.test_names or [])]
+    model = load_model(cfg=cfg) if apply_correction else None
+
+    results = {}
+    for ds in test_datasets:
+        name = str(ds)
+        clouds, gt_poses = [], []
+        for scan, pose in ds:
+            cloud = local_feature_cloud(scan, cfg)
+            if model is not None:
+                cloud = model.apply(cloud)
+            clouds.append(cloud)
+            gt_poses.append(np.asarray(pose))
+        gt_poses = np.stack(gt_poses)
+        odom = perturb_odometry(gt_poses, cfg.odom_cov, seed=cfg.random_seed)
+        est = slam_odometry(clouds, odom)
+
+        abs_a, abs_t, rel_a, rel_t = localization_errors(
+            jnp.asarray(gt_poses), jnp.asarray(est)
+        )
+        stats = (
+            float(jnp.mean(abs_a)),
+            float(jnp.mean(abs_t)),
+            float(jnp.mean(rel_a)),
+            float(jnp.mean(rel_t)),
+        )
+        results[name] = stats
+
+        if cfg.slam_eval_csv:
+            append(cfg.slam_eval_csv, "%s %.9f %.9f %.9f %.9f\n" % ((name,) + stats))
+        if cfg.slam_poses_csv:
+            rows = [
+                " ".join("%.9f" % x for x in np.asarray(T).ravel()) for T in est
+            ]
+            append(cfg.slam_poses_csv, "\n".join(rows) + "\n")
+    return results
+
+
+def export_corrected_clouds(cfg: Config, out_dir: str,
+                            test_datasets: Optional[Sequence] = None):
+    """Write corrected clouds + GT poses to npz for external SLAM parity
+    runs (the framework-side half of the reference's eval_slam)."""
+    from .datasets import create_dataset
+
+    if not test_datasets:
+        test_datasets = [create_dataset(n, cfg) for n in (cfg.test_names or [])]
+    model = load_model(cfg=cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = []
+    for ds in test_datasets:
+        name = str(ds).replace("/", "_")
+        for i, (scan, pose) in enumerate(ds):
+            cloud = local_feature_cloud(scan, cfg)
+            corrected = model.apply(cloud)
+            keep = np.asarray(corrected.valid)
+            path = os.path.join(out_dir, "%s_%04d.npz" % (name, i))
+            np.savez_compressed(
+                path,
+                points=np.asarray(corrected.to_points())[keep],
+                normals=np.asarray(corrected.normals)[keep],
+                mask=np.asarray(corrected.mask)[keep],
+                pose=np.asarray(pose),
+            )
+            manifest.append(path)
+    return manifest

@@ -1,0 +1,60 @@
+"""In-framework ICP alignment / odometry evaluation."""
+import numpy as np
+import jax.numpy as jnp
+
+from depth_correction_tpu.config import Config
+from depth_correction_tpu.datasets import create_dataset
+from depth_correction_tpu.ops.se3 import xyz_axis_angle_to_matrix
+from depth_correction_tpu.preproc import local_feature_cloud
+from depth_correction_tpu.slam_eval import icp_align, perturb_odometry
+
+
+def box_cfg():
+    cfg = Config()
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 30.0, 0.3
+    cfg.nn_r, cfg.nn_k = 0.6, 0
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = []
+    cfg.min_valid_neighbors = 3
+    cfg.depth_bias_model_kwargs = {"w": [0.0], "exponent": [4.0]}
+    return cfg
+
+
+def test_icp_align_recovers_known_offset():
+    cfg = box_cfg()
+    ds = create_dataset("open_box/n_4_size_10_10_5_height_1_density_60", cfg,
+                        noisy=False)
+    scan, pose = ds[0]
+    cloud = local_feature_cloud(scan, cfg)
+    target = cloud.transform(jnp.asarray(pose)).with_points()
+
+    offset = xyz_axis_angle_to_matrix(
+        jnp.asarray([0.05, -0.04, 0.03, 0.01, -0.008, 0.012])
+    )
+    T_true = jnp.asarray(pose) @ offset
+    # Source: same scan, but its true world pose differs by `offset`;
+    # start ICP from the unoffset pose and recover T_true.
+    T_est, err = icp_align(cloud, target, T0=T_true, n_iters=0)
+    # sanity: zero iterations keep the prior
+    np.testing.assert_allclose(np.asarray(T_est), np.asarray(T_true), atol=1e-7)
+
+    T_est, err = icp_align(cloud, target, T0=T_true, n_iters=8)
+    # Aligning the identical geometry: estimate should converge to `pose`.
+    delta = np.asarray(T_est) @ np.linalg.inv(np.asarray(pose))
+    np.testing.assert_allclose(delta[:3, 3], 0.0, atol=0.02)
+    np.testing.assert_allclose(delta[:3, :3], np.eye(3), atol=0.02)
+    assert float(err) < 0.01
+
+
+def test_perturb_odometry_statistics():
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(4), (20, 1, 1))
+    poses[:, 0, 3] = np.arange(20.0)
+    noisy = perturb_odometry(poses, [0, 0, 0, 1e-4, 1e-4, 1e-4], seed=1)
+    # First pose untouched; later poses drift.
+    np.testing.assert_allclose(noisy[0], poses[0])
+    drift = np.linalg.norm(noisy[-1][:3, 3] - poses[-1][:3, 3])
+    assert 0 < drift < 1.0
+    # Zero covariance = exact chain.
+    clean = perturb_odometry(poses, [0.0] * 6, seed=1)
+    np.testing.assert_allclose(clean, poses, atol=1e-12)
