@@ -97,12 +97,21 @@ class Linear(BaseModel):
         )
 
 
-def _poly_bias(w: jax.Array, exponent: jax.Array, inc_angles: jax.Array) -> jax.Array:
+def _poly_bias(
+    w: jax.Array,
+    exponent: jax.Array,
+    inc_angles: jax.Array,
+    learnable_exponents: bool = False,
+) -> jax.Array:
     """bias = sum_i w_i * gamma^e_i (reference: model.py:172-177).
 
     Shapes: w, exponent (E,), inc_angles (..., N) -> (..., N). The powers ->
     weights contraction is a matmul, so it lands on the MXU for large N.
+    Exponents are stop-gradient unless learnable (reference freezes them by
+    default, model.py:170) so plain optimizers cannot drift them.
     """
+    if not learnable_exponents:
+        exponent = jax.lax.stop_gradient(exponent)
     x = jnp.power(inc_angles[..., None], exponent)  # (..., N, E)
     return x @ w  # (..., N)
 
@@ -121,7 +130,9 @@ class Polynomial(BaseModel):
     )
 
     def bias(self, inc_angles):
-        return _poly_bias(self.w, self.exponent, inc_angles)
+        return _poly_bias(
+            self.w, self.exponent, inc_angles, self.learnable_exponents
+        )
 
     def correct_depth(self, depth, inc_angles):
         return depth - self.bias(inc_angles)
@@ -154,7 +165,9 @@ class ScaledPolynomial(BaseModel):
     )
 
     def bias(self, inc_angles):
-        return _poly_bias(self.w, self.exponent, inc_angles)
+        return _poly_bias(
+            self.w, self.exponent, inc_angles, self.learnable_exponents
+        )
 
     def correct_depth(self, depth, inc_angles):
         return depth * (1.0 - self.bias(inc_angles))
