@@ -144,8 +144,13 @@ class Config(Configurable):
         self.nn_max_neighbors = None
         # Neighbor-search backend for (one-time) neighborhood establishment:
         # None = on-device tiled search; 'scipy' = host cKDTree (the
-        # reference's index), useful for fast prep on strong hosts.
+        # reference's index); 'native' = bundled C++ KD-tree.
         self.nn_backend = None
+        # Mutual-pair trimming when neighbor lists are truncated (kNN or
+        # nn_max_neighbors): bounds the transpose in-degree by K, keeping the
+        # analytic gradient's gather as cheap as the forward. No-op for
+        # exact (uncapped) radius graphs, which are symmetric already.
+        self.nn_symmetrize = True
         # RANSAC plane neighborhoods (nn_type == plane).
         self.ransac_model_size = 3
         self.ransac_dist_thresh = 0.03

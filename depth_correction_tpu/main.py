@@ -157,6 +157,34 @@ def main(argv=None):
             train_and_eval_all(cfg)
         elif verb == "eval_loss_baselines":
             eval_loss_baselines(cfg)
+        elif verb == "eval_slam":
+            from .config import slam_eval_csv
+            from .slam_eval import eval_slam
+
+            if not cfg.slam_eval_csv:
+                cfg.slam_eval_csv = slam_eval_csv(cfg.log_dir, cfg.slam)
+            eval_slam(cfg)
+        elif verb == "eval_slam_baselines":
+            from .config import slam_eval_csv
+            from .slam_eval import eval_slam
+
+            base = cfg.copy()
+            base.model_class = "BaseModel"
+            base.model_state_dict = ""
+            if not base.slam_eval_csv:
+                base.slam_eval_csv = slam_eval_csv(cfg.log_dir, cfg.slam)
+            eval_slam(base, apply_correction=False)
+        elif verb == "export_corrected":
+            from .slam_eval import export_corrected_clouds
+
+            export_corrected_clouds(cfg, os.path.join(cfg.log_dir, "corrected"))
+        elif verb == "bench":
+            import runpy
+
+            runpy.run_path(
+                os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                run_name="__main__",
+            )
         else:
             raise SystemExit("Unknown verb: %s" % verb)
 

@@ -34,7 +34,7 @@ from .ops.filters import (
 from .ops.knn import radius_neighbors
 from .preproc import pad_size
 
-__all__ = ["DepthCorrector", "correct_cloud"]
+__all__ = ["CloudFilter", "DepthCorrector", "correct_cloud"]
 
 
 @partial(jax.jit, static_argnames=("k", "nn_r", "min_depth", "max_depth",
@@ -104,6 +104,22 @@ def correct_cloud(model, cloud: Cloud, cfg: Config, k: Optional[int] = None):
         eigval_bounds=_freeze_bounds(cfg.eigenvalue_bounds),
         ratio_bounds=_freeze_bounds(cfg.eigenvalue_ratio_bounds),
     )
+
+
+class CloudFilter:
+    """Streaming depth + grid filter (the cloud_filter node equivalent,
+    reference: scripts/cloud_filter:23-31): host-side filtering of raw scans
+    to the preprocessed form the rest of the pipeline consumes."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+
+    def process(self, scan: np.ndarray) -> np.ndarray:
+        from .datasets.synthetic import make_structured
+        from .preproc import filtered_cloud
+
+        pts, vps, normals = filtered_cloud(scan, self.cfg)
+        return make_structured(pts, normals=normals, vps=vps)
 
 
 class DepthCorrector:

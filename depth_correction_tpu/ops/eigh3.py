@@ -24,19 +24,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["eigvals3", "eigh3", "eigvecs3"]
+__all__ = ["eigvals3", "eigh3", "eigvecs3", "eigvals3_c"]
 
 _TWO_PI_3 = 2.0943951023931953  # 2*pi/3
 
 
-def _eigvals3_impl(A: jax.Array) -> jax.Array:
-    a00 = A[..., 0, 0]
-    a11 = A[..., 1, 1]
-    a22 = A[..., 2, 2]
-    a01 = A[..., 0, 1]
-    a02 = A[..., 0, 2]
-    a12 = A[..., 1, 2]
+def _eigvals3_core(a00, a11, a22, a01, a02, a12):
+    """Trigonometric eigenvalues from the six matrix components.
 
+    Component form avoids materializing (..., 3, 3) tensors, whose tiny
+    trailing dims get padded to (8, 128) tiles on TPU (a 42x memory blowup
+    at cloud scale).
+    """
     q = (a00 + a11 + a22) / 3.0
     b00 = a00 - q
     b11 = a11 - q
@@ -59,7 +58,77 @@ def _eigvals3_impl(A: jax.Array) -> jax.Array:
     lam_max = q + 2.0 * p * jnp.cos(phi)
     lam_min = q + 2.0 * p * jnp.cos(phi + _TWO_PI_3)
     lam_mid = 3.0 * q - lam_max - lam_min
+    return lam_min, lam_mid, lam_max
+
+
+def _eigvals3_impl(A: jax.Array) -> jax.Array:
+    lam_min, lam_mid, lam_max = _eigvals3_core(
+        A[..., 0, 0], A[..., 1, 1], A[..., 2, 2],
+        A[..., 0, 1], A[..., 0, 2], A[..., 1, 2],
+    )
     return jnp.stack([lam_min, lam_mid, lam_max], axis=-1)
+
+
+def _eigvec_c(a00, a11, a22, a01, a02, a12, lam):
+    """Component-form eigenvector for eigenvalue ``lam`` via the largest
+    cross product of rows of (A - lam I); returns unit (vx, vy, vz).
+
+    Rows: r0 = (b00, a01, a02), r1 = (a01, b11, a12), r2 = (a02, a12, b22).
+    Cross products of row pairs (r1 x r2, r2 x r0, r0 x r1) are the columns
+    of adj(A - lam I), any nonzero one spans the eigenspace.
+    """
+    b00, b11, b22 = a00 - lam, a11 - lam, a22 - lam
+    c0 = (b11 * b22 - a12 * a12, a12 * a02 - a01 * b22, a01 * a12 - b11 * a02)
+    c1 = (a12 * a02 - a01 * b22, b00 * b22 - a02 * a02, a01 * a02 - b00 * a12)
+    c2 = (a01 * a12 - a02 * b11, a02 * a01 - b00 * a12, b00 * b11 - a01 * a01)
+    n0 = c0[0] ** 2 + c0[1] ** 2 + c0[2] ** 2
+    n1 = c1[0] ** 2 + c1[1] ** 2 + c1[2] ** 2
+    n2 = c2[0] ** 2 + c2[1] ** 2 + c2[2] ** 2
+    use1 = (n1 >= n0) & (n1 >= n2)
+    use2 = (n2 > n0) & (n2 > n1) & ~use1
+    vx = jnp.where(use1, c1[0], jnp.where(use2, c2[0], c0[0]))
+    vy = jnp.where(use1, c1[1], jnp.where(use2, c2[1], c0[1]))
+    vz = jnp.where(use1, c1[2], jnp.where(use2, c2[2], c0[2]))
+    n = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-40))
+    ok = n > 1e-20
+    vx = jnp.where(ok, vx / n, 1.0)
+    vy = jnp.where(ok, vy / n, 0.0)
+    vz = jnp.where(ok, vz / n, 0.0)
+    return vx, vy, vz
+
+
+@jax.custom_jvp
+def eigvals3_c(a00, a11, a22, a01, a02, a12):
+    """Ascending eigenvalues of symmetric 3x3 matrices, component form.
+
+    Same math as :func:`eigvals3` but takes/returns flat component arrays,
+    keeping every intermediate at the batch shape (no padded 3x3 tiles).
+    :return: (lam_min, lam_mid, lam_max).
+    """
+    return _eigvals3_core(a00, a11, a22, a01, a02, a12)
+
+
+@eigvals3_c.defjvp
+def _eigvals3_c_jvp(primals, tangents):
+    comps = primals
+    dts = tangents
+    lams = _eigvals3_core(*comps)
+    outs = []
+    douts = []
+    for lam in lams:
+        vx, vy, vz = _eigvec_c(*comps, lam)
+        # dlam = v^T dA v expanded over the six components.
+        d = (
+            vx * vx * dts[0]
+            + vy * vy * dts[1]
+            + vz * vz * dts[2]
+            + 2.0 * vx * vy * dts[3]
+            + 2.0 * vx * vz * dts[4]
+            + 2.0 * vy * vz * dts[5]
+        )
+        outs.append(lam)
+        douts.append(d)
+    return tuple(outs), tuple(douts)
 
 
 def eigvecs3(A: jax.Array, lams: jax.Array) -> jax.Array:

@@ -359,6 +359,26 @@ def offset_cloud(batch: SequenceBatch, model=None) -> Cloud:
     return flatten_batch(cloud)
 
 
+def symmetrize_neighbors(neighbors) -> jnp.ndarray:
+    """Keep only mutual pairs: (i, j) survives iff j lists i too.
+
+    An uncapped radius graph is symmetric already (this is a no-op); capping
+    at ``nn_max_neighbors`` truncates one-sidedly, which makes the transpose
+    in-degree (and with it the analytic-backward gather) up to ~5x the
+    forward width. Mutual trimming restores in-degree <= K.
+    """
+    nb = np.asarray(neighbors)
+    m, k = nb.shape
+    i = np.repeat(np.arange(m, dtype=np.int64), k)
+    j = nb.ravel().astype(np.int64)
+    valid = j >= 0
+    key_ij = i * m + j
+    key_ji = j * m + i
+    keep = valid & np.isin(key_ij, key_ji[valid], assume_unique=False)
+    out = np.where(keep.reshape(m, k), nb, -1)
+    return jnp.asarray(out, jnp.int32)
+
+
 def establish_neighborhoods(
     gcloud: Cloud, cfg: Config, k_max: Optional[int] = None
 ):
@@ -382,9 +402,10 @@ def establish_neighborhoods(
         )
         return planes.orient(gcloud.vps), None
     points = gcloud.get_points()
+    capped = bool(k_max or cfg.nn_max_neighbors)
     if getattr(cfg, "nn_backend", None) in ("scipy", "native"):
-        return _host_neighbors(points, gcloud.valid, cfg, k_max=k_max)
-    if cfg.nn_k:
+        idx, weights = _host_neighbors(points, gcloud.valid, cfg, k_max=k_max)
+    elif cfg.nn_k:
         _, idx = nearest_neighbors(
             points,
             points,
@@ -393,6 +414,9 @@ def establish_neighborhoods(
             valid_points=gcloud.valid,
             valid_query=gcloud.valid,
         )
+        # Pure kNN stays one-sided (reference semantics); only radius
+        # searches truncated by nn_max_neighbors get mutual trimming.
+        weights = None
     else:
         k = k_max or cfg.nn_max_neighbors or suggest_k_max(
             points, r=cfg.nn_r, valid_points=gcloud.valid
@@ -404,7 +428,14 @@ def establish_neighborhoods(
             valid_points=gcloud.valid,
             valid_query=gcloud.valid,
         )
-    weights = (idx >= 0).astype(points.dtype)
+        weights = None
+    if capped and getattr(cfg, "nn_symmetrize", True):
+        # Truncated lists are one-sided; mutual trimming keeps the transpose
+        # in-degree bounded by K (the analytic backward gathers over it).
+        idx = symmetrize_neighbors(idx)
+        weights = None
+    if weights is None:
+        weights = (idx >= 0).astype(points.dtype)
     return idx, weights
 
 
@@ -414,10 +445,14 @@ def compute_neighborhood_features(
     weights: jax.Array,
     cfg: Config,
     compute_normals: bool = False,
+    t_idx=None,
+    t_slot=None,
+    t_w=None,
 ) -> Cloud:
     """Recompute neighborhood statistics over frozen neighborhoods — the
     differentiable hot path (reference: preproc.py:195-217). Normals are
     skipped by default: the consistency losses consume eigenvalues only.
+    Pass the transpose graph (t_idx, t_slot) for the scatter-free backward.
     """
     return compute_features(
         gcloud,
@@ -425,4 +460,7 @@ def compute_neighborhood_features(
         weights,
         scale=cfg.nn_scale,
         compute_normals=compute_normals,
+        t_idx=t_idx,
+        t_slot=t_slot,
+        t_w=t_w,
     )

@@ -72,6 +72,11 @@ class TrainData:
     neighbors: tuple  # tuple[(M, K) int32]
     weights: tuple  # tuple[(M, K) float]
     masks: tuple  # tuple[(M,) bool] trainable-region masks
+    # Transpose neighbor graphs for the scatter-free gather backward
+    # (ops.features.build_transpose_graph); None disables.
+    t_neighbors: tuple = ()
+    t_slots: tuple = ()
+    t_weights: tuple = ()
 
 
 def prepare_sequences(datasets, cfg: Config) -> TrainData:
@@ -84,6 +89,9 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     neighbors = []
     weights = []
     masks = []
+    t_neighbors = []
+    t_slots = []
+    t_weights = []
     for ds in datasets:
         clouds, poses = [], []
         for scan, pose in ds:
@@ -96,7 +104,17 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
                 c = _Cloud.from_structured_array(scan, dtype=cfg.numpy_float_type())
                 clouds.append(c.pad(pad_size(c.size)))
             else:
-                clouds.append(local_feature_cloud(scan, cfg))
+                fc = local_feature_cloud(scan, cfg)
+                # The hot loop consumes source fields + incidence angles +
+                # the planar mask only. Derived per-scan fields (cov,
+                # eigvecs, ...) carry (N, 3, 3) tiles that pad to (8, 128)
+                # lanes on TPU — gigabytes of dead HBM if kept.
+                clouds.append(
+                    fc.replace(
+                        points=None, mean=None, cov=None, eigvals=None,
+                        eigvecs=None, normals=None, trace=None, loss=None,
+                    )
+                )
             poses.append(np.asarray(pose))
         batch = sequence_batch(clouds, np.stack(poses))
         batches.append(batch)
@@ -107,6 +125,9 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             neighbors.append(planes)
             weights.append(None)
             masks.append(planes.valid)
+            t_neighbors.append(None)
+            t_slots.append(None)
+            t_weights.append(None)
             continue
         nn, w = establish_neighborhoods(gcloud, cfg)
         feat = compute_neighborhood_features(gcloud, nn, w, cfg)
@@ -117,11 +138,20 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         neighbors.append(nn)
         weights.append(w)
         masks.append(gmask)
+        from .ops.features import build_transpose_graph
+
+        t_nn, t_sl, t_w = build_transpose_graph(nn, weights=w)
+        t_neighbors.append(t_nn)
+        t_slots.append(t_sl)
+        t_weights.append(t_w)
     return TrainData(
         batches=tuple(batches),
         neighbors=tuple(neighbors),
         weights=tuple(weights),
         masks=tuple(masks),
+        t_neighbors=tuple(t_neighbors),
+        t_slots=tuple(t_slots),
+        t_weights=tuple(t_weights),
     )
 
 
@@ -204,8 +234,12 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
                 )
             else:
                 gcloud = global_cloud(batch, model=model, pose_deltas=delta)
+                t_nn = data.t_neighbors[i] if data.t_neighbors else None
+                t_sl = data.t_slots[i] if data.t_slots else None
+                t_w = data.t_weights[i] if data.t_weights else None
                 feat = compute_neighborhood_features(
-                    gcloud, data.neighbors[i], data.weights[i], cfg
+                    gcloud, data.neighbors[i], data.weights[i], cfg,
+                    t_idx=t_nn, t_slot=t_sl, t_w=t_w,
                 )
             feats.append(feat)
         value, _ = loss_fun(list(feats), mask=list(data.masks))
