@@ -122,11 +122,15 @@ def bench_ours(cfg, data) -> float:
     return float(np.median(times) * 1e3)
 
 
-def bench_torch_baseline(cfg, data, steps: int = 3) -> float:
+def bench_torch_baseline(cfg, data, steps: int = 5) -> float:
     """Reference-style step in torch float64 on CPU.
 
-    Same math, same frozen neighborhoods, implemented the way the reference
-    computes it: dense autograd graph rebuilt per iteration, LAPACK eigh.
+    Same math, same frozen (compacted) neighborhoods, implemented the way
+    the reference computes it: dense autograd graph rebuilt per iteration,
+    LAPACK eigh. This is deliberately GENEROUS to the baseline — the actual
+    reference recomputes features for every point (no query compaction) with
+    Python-loop overhead; and the minimum over runs is reported to discount
+    host contention.
     """
     import torch
 
@@ -173,7 +177,7 @@ def bench_torch_baseline(cfg, data, steps: int = 3) -> float:
         t0 = time.perf_counter()
         step()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1e3)
+    return float(np.min(times) * 1e3)
 
 
 def main():

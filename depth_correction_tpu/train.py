@@ -135,12 +135,32 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         # (reference: train.py:212-215).
         local_mask = feat.mask
         gmask = global_cloud_mask(feat, nn, w, cfg, mask=local_mask)
-        neighbors.append(nn)
-        weights.append(w)
-        masks.append(gmask)
-        from .ops.features import build_transpose_graph
 
-        t_nn, t_sl, t_w = build_transpose_graph(nn, weights=w)
+        # Query-row compaction: only rows that enter the loss keep their
+        # neighborhoods; the hot loop then gathers/eigendecomposes for the
+        # masked subset instead of every padded point. The gather TABLE
+        # (all points) is untouched — masked-out points still serve as
+        # neighbors.
+        from .ops.features import build_transpose_graph
+        from .preproc import pad_size
+
+        m_total = int(np.asarray(gmask).shape[0])
+        rows = np.flatnonzero(np.asarray(gmask))
+        mq = pad_size(max(len(rows), 1))
+        qrows = np.full(mq, -1, np.int64)
+        qrows[: len(rows)] = rows
+        nn_np = np.asarray(nn)[np.maximum(qrows, 0)]
+        nn_np[qrows < 0] = -1
+        w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
+        nn_q = jnp.asarray(nn_np, jnp.int32)
+        w_q = jnp.asarray(w_np)
+        neighbors.append(nn_q)
+        weights.append(w_q)
+        masks.append(jnp.asarray(qrows >= 0))
+
+        t_nn, t_sl, t_w = build_transpose_graph(
+            nn_np, num_points=m_total, weights=w_np
+        )
         t_neighbors.append(t_nn)
         t_slots.append(t_sl)
         t_weights.append(t_w)
@@ -185,6 +205,31 @@ def _delta_for_seq(pose_deltas, i, mode):
     if mode == PoseCorrection.common:
         return pose_deltas[0]
     return pose_deltas[i]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FeatureRows:
+    """Pointwise features for the loss over compacted query rows.
+
+    Duck-types the Cloud surface the consistency losses consume (eigvals /
+    trace / cov / valid / mask / loss / replace) without carrying the full
+    per-point cloud fields.
+    """
+
+    eigvals: jax.Array  # (Mq, 3)
+    trace: Optional[jax.Array] = None
+    cov: Optional[jax.Array] = None
+    valid: Optional[jax.Array] = None
+    mask: Optional[jax.Array] = None
+    loss: Optional[jax.Array] = None
+
+    @property
+    def size(self):
+        return self.eigvals.shape[0]
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
 
 def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
@@ -233,13 +278,24 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
                     gcloud, data.neighbors[i], model, cfg
                 )
             else:
+                from .ops.features import neighborhood_features
+
                 gcloud = global_cloud(batch, model=model, pose_deltas=delta)
                 t_nn = data.t_neighbors[i] if data.t_neighbors else None
                 t_sl = data.t_slots[i] if data.t_slots else None
                 t_w = data.t_weights[i] if data.t_weights else None
-                feat = compute_neighborhood_features(
-                    gcloud, data.neighbors[i], data.weights[i], cfg,
+                # Features over the compacted query rows only (fewer rows
+                # than the global cloud; the gather table is the full cloud).
+                f = neighborhood_features(
+                    gcloud.get_points(), data.neighbors[i], data.weights[i],
+                    scale=cfg.nn_scale, compute_normals=False,
                     t_idx=t_nn, t_slot=t_sl, t_w=t_w,
+                )
+                feat = FeatureRows(
+                    eigvals=f["eigvals"],
+                    trace=f["trace"],
+                    cov=f.get("cov"),
+                    valid=data.masks[i],
                 )
             feats.append(feat)
         value, _ = loss_fun(list(feats), mask=list(data.masks))
