@@ -54,6 +54,10 @@ def dataset_by_name(name: str):
         return PlaneDataset
     if prefix == "angle":
         return AngleDataset
+    if ".obj" in name or ".ply" in name:
+        from .mesh import MeshDataset
+
+        return MeshDataset
     if prefix in (
         "asl_laser",
         "semantic_kitti",

@@ -273,9 +273,26 @@ def _moments_bwd(res, cotangents):
 
     table = jnp.stack([s00, s11, s22, s01, s02, s12, u0, u1, u2], axis=0)
 
-    # Chunk along M: in-degree padding Kt can be large on dense scenes, and
-    # a monolithic (9, Kt, M) gather output could pressure HBM.
+    # Chunk along M only when the monolithic (9, Kt, M) gather output would
+    # pressure HBM (large in-degree padding Kt on dense scenes); the scan
+    # costs ~1.5x in launch overhead when memory is not a concern.
     m = t_idx.shape[0]
+    kt_dim = t_idx.shape[1]
+    if 9 * kt_dim * m * 4 < 1_500_000_000:
+        g = jnp.take(table, jnp.maximum(t_idx, 0).T, axis=1)  # (9, Kt, M)
+        sums = jnp.sum(g * t_w.T[None], axis=1)  # (9, M)
+        S00, S11, S22, S01, S02, S12, U0, U1, U2 = sums
+        x, y, z = points[:, 0], points[:, 1], points[:, 2]
+        grad = jnp.stack(
+            [
+                S00 * x + S01 * y + S02 * z + U0,
+                S01 * x + S11 * y + S12 * z + U1,
+                S02 * x + S12 * y + S22 * z + U2,
+            ],
+            axis=-1,
+        )
+        return grad, None, None, None, None
+
     chunk = 65536
     pad = (-m) % chunk
     tiT = jnp.pad(t_idx, ((0, pad), (0, 0)), constant_values=-1).T  # (Kt, Mp)

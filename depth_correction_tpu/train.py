@@ -77,6 +77,8 @@ class TrainData:
     t_neighbors: tuple = ()
     t_slots: tuple = ()
     t_weights: tuple = ()
+    # Optional pointwise loss offsets from local neighborhoods (loss_offset).
+    offsets: tuple = ()
 
 
 def prepare_sequences(datasets, cfg: Config) -> TrainData:
@@ -92,6 +94,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     t_neighbors = []
     t_slots = []
     t_weights = []
+    offsets = []
     for ds in datasets:
         clouds, poses = [], []
         for scan, pose in ds:
@@ -108,10 +111,12 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
                 # The hot loop consumes source fields + incidence angles +
                 # the planar mask only. Derived per-scan fields (cov,
                 # eigvecs, ...) carry (N, 3, 3) tiles that pad to (8, 128)
-                # lanes on TPU — gigabytes of dead HBM if kept.
+                # lanes on TPU — gigabytes of dead HBM if kept. Local
+                # eigenvalues survive only to build the loss offset.
                 clouds.append(
                     fc.replace(
-                        points=None, mean=None, cov=None, eigvals=None,
+                        points=None, mean=None, cov=None,
+                        eigvals=fc.eigvals if cfg.loss_offset else None,
                         eigvecs=None, normals=None, trace=None, loss=None,
                     )
                 )
@@ -128,6 +133,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             t_neighbors.append(None)
             t_slots.append(None)
             t_weights.append(None)
+            offsets.append(None)
             continue
         nn, w = establish_neighborhoods(gcloud, cfg)
         feat = compute_neighborhood_features(gcloud, nn, w, cfg)
@@ -158,6 +164,28 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         weights.append(w_q)
         masks.append(jnp.asarray(qrows >= 0))
 
+        # Pointwise loss offset from LOCAL (per-scan) neighborhoods
+        # (reference: preproc.py:67-77, loss.py:279-281): subtracting the
+        # local-cloud consistency keeps only the cross-scan misalignment.
+        if cfg.loss_offset:
+            from .preproc import flatten_batch
+
+            ev = np.asarray(flatten_batch(batch.cloud).eigvals)
+            if cfg.loss == "trace_loss":
+                pw = ev.sum(-1)
+            else:
+                pw = ev[:, 0]
+                if cfg.loss_kwargs.get("normalization"):
+                    pw = pw / np.maximum(ev.sum(-1), 1e-6)
+            offs = pw[np.maximum(qrows, 0)]
+            offs[qrows < 0] = 0.0
+            offsets.append(jnp.asarray(offs, cfg.jax_float_type()))
+            batches[-1] = SequenceBatch(
+                cloud=batch.cloud.replace(eigvals=None), poses=batch.poses
+            )
+        else:
+            offsets.append(None)
+
         t_nn, t_sl, t_w = build_transpose_graph(
             nn_np, num_points=m_total, weights=w_np
         )
@@ -172,6 +200,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         t_neighbors=tuple(t_neighbors),
         t_slots=tuple(t_slots),
         t_weights=tuple(t_weights),
+        offsets=tuple(offsets),
     )
 
 
@@ -298,7 +327,12 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
                     valid=data.masks[i],
                 )
             feats.append(feat)
-        value, _ = loss_fun(list(feats), mask=list(data.masks))
+        offsets = (
+            list(data.offsets)
+            if data.offsets and any(o is not None for o in data.offsets)
+            else None
+        )
+        value, _ = loss_fun(list(feats), mask=list(data.masks), offset=offsets)
         return value
 
     return loss_fn
@@ -315,7 +349,11 @@ def make_optimizer(cfg: Config):
     if name == "sgd":
         return optax.sgd(cfg.lr, **kwargs)
     if name == "lbfgs":
-        return optax.lbfgs(cfg.lr)
+        # Plain-update L-BFGS (no line search), usable in the same jitted
+        # step as Adam/SGD.
+        return optax.chain(
+            optax.scale_by_lbfgs(), optax.scale_by_learning_rate(cfg.lr)
+        )
     raise ValueError("Unknown optimizer: %s" % cfg.optimizer)
 
 

@@ -1,0 +1,66 @@
+"""loss_offset semantics and the L-BFGS optimizer path."""
+import numpy as np
+import jax.numpy as jnp
+
+from depth_correction_tpu.config import Config
+from depth_correction_tpu.datasets import create_dataset
+from depth_correction_tpu.models import ScaledPolynomial
+from depth_correction_tpu.train import make_loss_fn, make_optimizer, prepare_sequences
+
+
+def cfg_base(loss_offset=False):
+    cfg = Config()
+    cfg.float_type = "float64"
+    cfg.train_names = ["ground_plane/4"]
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 20.0, 0.25
+    cfg.nn_r, cfg.nn_k = 0.4, 0
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = []
+    cfg.min_valid_neighbors = 3
+    cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+    cfg.loss_kwargs = {"sqrt": False, "normalization": False}
+    cfg.loss_offset = loss_offset
+    return cfg
+
+
+def test_loss_offset_reduces_loss():
+    """Offsetting by the local-cloud loss removes the single-scan floor:
+    the offset loss is strictly below the raw loss and stays nonnegative."""
+    ds = create_dataset("ground_plane/4", cfg_base())
+    cfg_raw = cfg_base(False)
+    cfg_off = cfg_base(True)
+    data_raw = prepare_sequences([ds], cfg_raw)
+    data_off = prepare_sequences([ds], cfg_off)
+    assert data_off.offsets[0] is not None
+    assert np.asarray(data_off.offsets[0]).max() > 0
+
+    model = ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))
+    raw = float(make_loss_fn(cfg_raw)({"model": model}, data_raw))
+    off = float(make_loss_fn(cfg_off)({"model": model}, data_off))
+    assert 0.0 <= off < raw
+
+
+def test_lbfgs_optimizer_trains():
+    import jax
+    import optax
+
+    cfg = cfg_base()
+    cfg.optimizer = "lbfgs"
+    cfg.lr = 0.3
+    ds = create_dataset("ground_plane/4", cfg)
+    data = prepare_sequences([ds], cfg)
+    loss_fn = make_loss_fn(cfg)
+    params = {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))}
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, data):
+        loss, grads = jax.value_and_grad(loss_fn)(params, data)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    l0 = float(loss_fn(params, data))
+    for _ in range(20):
+        loss, params, opt_state = step(params, opt_state, data)
+    assert float(loss) < l0
