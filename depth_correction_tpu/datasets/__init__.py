@@ -54,6 +54,10 @@ def dataset_by_name(name: str):
         return PlaneDataset
     if prefix == "angle":
         return AngleDataset
+    if "rendered_mesh" in name:
+        from .rendered_mesh import RenderedMeshDataset
+
+        return RenderedMeshDataset
     if ".obj" in name or ".ply" in name:
         from .mesh import MeshDataset
 
