@@ -471,6 +471,16 @@ def train(
         updates, opt_state = tx.update(grads, opt_state, params)
         return loss, optax.apply_updates(params, updates), opt_state
 
+    # Optional TensorBoard scalars (reference: train.py:163, 271-297); the
+    # CSV history below is the always-on channel.
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(cfg.log_dir)
+    except Exception:
+        pass
+
     min_train_loss = np.inf
     min_val_loss = np.inf
     best_cfg = None
@@ -522,10 +532,21 @@ def train(
                 % (it, train_loss, val_loss, " saved" if saved else "")
             )
 
+        if writer is not None:
+            writer.add_scalar("%s/train" % cfg.loss, train_loss, it)
+            writer.add_scalar("%s/val" % cfg.loss, val_loss, it)
+            w = getattr(params["model"], "w", None)
+            if w is not None:
+                for wi, wv in enumerate(np.asarray(w).ravel()):
+                    writer.add_scalar("model/w_%d" % wi, float(wv), it)
+
         params = new_params
 
-    # CSV history (the flat-file observability channel; the reference logs
-    # to TensorBoard, train.py:271-297).
+    if writer is not None:
+        writer.flush()
+        writer.close()
+
+    # CSV history (the flat-file observability channel).
     with open(os.path.join(cfg.log_dir, "train_history.csv"), "w") as f:
         f.write("iter train_loss val_loss\n")
         for row in history:
