@@ -15,6 +15,7 @@ loop (train.py:166-226).
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -25,6 +26,8 @@ from .covs import weighted_cov, weighted_mean, trace3
 from .eigh3 import eigh3
 
 __all__ = [
+    "BucketedTranspose",
+    "build_bucketed_transpose",
     "build_transpose_graph",
     "gather_neighbors",
     "gather_neighbors_transposed",
@@ -101,6 +104,104 @@ def build_transpose_graph(neighbors, num_points: Optional[int] = None,
         t_w[j, within] = w[i, kk]
         out = out + (jnp.asarray(t_w),)
     return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BucketedTranspose:
+    """Transpose neighbor graph bucketed by in-degree.
+
+    A flat (M, Kt_max) transpose table pads every point to the MAXIMUM
+    in-degree; on the training workload that is ~6x more gather indices than
+    real (query, point) pairs (mean in-degree ~5 vs Kt 32), and the padded
+    gather dominates the whole step. Bucketing rows by in-degree into
+    power-of-two widths bounds padding at 2x, so the analytic backward costs
+    the same gather class as the forward.
+
+    Fields (all static, built once per frozen neighborhood):
+    - ``idx[b]``: (Mb, Ktb) query-row indices, -1 padded.
+    - ``w[b]``: (Mb, Ktb) transposed weights (0 on padding).
+    - ``inv``: (M,) position of point j in the concatenated bucket rows, or
+      Mr (a zero slot) for points never referenced by any query.
+    """
+
+    idx: tuple  # tuple of (Mb, Ktb) int32
+    w: tuple  # tuple of (Mb, Ktb) float
+    inv: jax.Array  # (M,) int32
+
+
+def build_bucketed_transpose(
+    neighbors,
+    num_points: Optional[int] = None,
+    weights=None,
+    min_width: int = 8,
+) -> BucketedTranspose:
+    """Bucketed transpose of a padded neighbor graph (host-side numpy).
+
+    :param neighbors: (Mq, K) int neighbor matrix, -1 padding; entries index
+        the global point axis [0, num_points).
+    :param weights: (Mq, K) weights; defaults to (neighbors >= 0).
+    :return: :class:`BucketedTranspose`.
+    """
+    import numpy as np
+
+    nb = np.asarray(neighbors)
+    mq, k = nb.shape
+    m = int(num_points) if num_points is not None else mq
+    i = np.repeat(np.arange(mq, dtype=np.int64), k)
+    j = nb.ravel().astype(np.int64)
+    if weights is None:
+        w_pairs = (j >= 0).astype(np.float32)
+    else:
+        w_pairs = np.asarray(weights).ravel()
+    keep = j >= 0
+    i, j, w_pairs = i[keep], j[keep], w_pairs[keep]
+
+    deg = np.bincount(j, minlength=m)
+    order = np.argsort(j, kind="stable")
+    i, j, w_pairs = i[order], j[order], w_pairs[order]
+    starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    within = np.arange(len(j)) - starts[j]
+
+    # Bucket width per point: smallest power-of-two >= deg (>= min_width).
+    max_deg = int(deg.max()) if len(j) else 1
+    widths = []
+    wd = min_width
+    while wd < max_deg:
+        widths.append(wd)
+        wd *= 2
+    widths.append(max(wd, min_width))
+    widths_arr = np.asarray(widths)
+    # width index for each point with deg > 0
+    width_of = np.searchsorted(widths_arr, np.maximum(deg, 1))
+
+    rows_parts = []
+    idx_parts = []
+    w_parts = []
+    offset = 0
+    pos_in_concat = np.full(m, -1, np.int64)
+    for b, ktb in enumerate(widths):
+        rows_b = np.flatnonzero((width_of == b) & (deg > 0))
+        if len(rows_b) == 0:
+            continue
+        mb = len(rows_b)
+        pos_in_bucket = np.full(m, -1, np.int64)
+        pos_in_bucket[rows_b] = np.arange(mb)
+        sel = pos_in_bucket[j] >= 0
+        t_idx_b = np.full((mb, ktb), -1, np.int32)
+        t_w_b = np.zeros((mb, ktb), w_pairs.dtype)
+        t_idx_b[pos_in_bucket[j[sel]], within[sel]] = i[sel].astype(np.int32)
+        t_w_b[pos_in_bucket[j[sel]], within[sel]] = w_pairs[sel]
+        rows_parts.append(rows_b)
+        idx_parts.append(jnp.asarray(t_idx_b))
+        w_parts.append(jnp.asarray(t_w_b))
+        pos_in_concat[rows_b] = offset + np.arange(mb)
+        offset += mb
+
+    mr = offset
+    inv = np.where(pos_in_concat >= 0, pos_in_concat, mr).astype(np.int32)
+    return BucketedTranspose(idx=tuple(idx_parts), w=tuple(w_parts),
+                             inv=jnp.asarray(inv))
 
 
 @jax.custom_vjp
@@ -256,22 +357,41 @@ def _moments_fwd(points, neighbors, weights, t_idx, t_w):
     return (mean, comps), (points, mean, w_sum, t_idx, t_w)
 
 
-def _moments_bwd(res, cotangents):
-    points, mean, w_sum, t_idx, t_w = res
+def _cotangent_table(mean, w_sum, cotangents):
+    """(9, Mq) per-query backward table: S (symmetric, /denom) and u rows.
+
+    S_rq assembles grad_r = sum_{p<=q} g_pq (delta_rp c_q + delta_rq c_p):
+    diagonal components pick up both delta terms (factor 2).
+    """
     g_mean, g_comps = cotangents
     g00, g11, g22, g01, g02, g12 = g_comps
     denom = jnp.maximum(w_sum - 1.0, 1e-6)
-
-    # S_rq assembles grad_r = sum_{p<=q} g_pq (delta_rp c_q + delta_rq c_p):
-    # diagonal components pick up both delta terms (factor 2).
     s00, s11, s22 = 2.0 * g00 / denom, 2.0 * g11 / denom, 2.0 * g22 / denom
     s01, s02, s12 = g01 / denom, g02 / denom, g12 / denom
     mux, muy, muz = mean[0], mean[1], mean[2]
     u0 = g_mean[0] / w_sum - (s00 * mux + s01 * muy + s02 * muz)
     u1 = g_mean[1] / w_sum - (s01 * mux + s11 * muy + s12 * muz)
     u2 = g_mean[2] / w_sum - (s02 * mux + s12 * muy + s22 * muz)
+    return jnp.stack([s00, s11, s22, s01, s02, s12, u0, u1, u2], axis=0)
 
-    table = jnp.stack([s00, s11, s22, s01, s02, s12, u0, u1, u2], axis=0)
+
+def _grad_from_sums(points, sums):
+    """grad_j = S_j x_j + u_j from the (9, M) per-point accumulated sums."""
+    S00, S11, S22, S01, S02, S12, U0, U1, U2 = sums
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    return jnp.stack(
+        [
+            S00 * x + S01 * y + S02 * z + U0,
+            S01 * x + S11 * y + S12 * z + U1,
+            S02 * x + S12 * y + S22 * z + U2,
+        ],
+        axis=-1,
+    )
+
+
+def _moments_bwd(res, cotangents):
+    points, mean, w_sum, t_idx, t_w = res
+    table = _cotangent_table(mean, w_sum, cotangents)
 
     # Chunk along M only when the monolithic (9, Kt, M) gather output would
     # pressure HBM (large in-degree padding Kt on dense scenes); the scan
@@ -281,17 +401,7 @@ def _moments_bwd(res, cotangents):
     if 9 * kt_dim * m * 4 < 1_500_000_000:
         g = jnp.take(table, jnp.maximum(t_idx, 0).T, axis=1)  # (9, Kt, M)
         sums = jnp.sum(g * t_w.T[None], axis=1)  # (9, M)
-        S00, S11, S22, S01, S02, S12, U0, U1, U2 = sums
-        x, y, z = points[:, 0], points[:, 1], points[:, 2]
-        grad = jnp.stack(
-            [
-                S00 * x + S01 * y + S02 * z + U0,
-                S01 * x + S11 * y + S12 * z + U1,
-                S02 * x + S12 * y + S22 * z + U2,
-            ],
-            axis=-1,
-        )
-        return grad, None, None, None, None
+        return _grad_from_sums(points, sums), None, None, None, None
 
     chunk = 65536
     pad = (-m) % chunk
@@ -313,21 +423,47 @@ def _moments_bwd(res, cotangents):
         ),
     )  # (n_chunks, 9, chunk)
     sums = jnp.moveaxis(sums, 1, 0).reshape(9, -1)[:, :m]
-    S00, S11, S22, S01, S02, S12, U0, U1, U2 = sums
-
-    x, y, z = points[:, 0], points[:, 1], points[:, 2]
-    grad = jnp.stack(
-        [
-            S00 * x + S01 * y + S02 * z + U0,
-            S01 * x + S11 * y + S12 * z + U1,
-            S02 * x + S12 * y + S22 * z + U2,
-        ],
-        axis=-1,
-    )
-    return grad, None, None, None, None
+    return _grad_from_sums(points, sums), None, None, None, None
 
 
 neighborhood_moments.defvjp(_moments_fwd, _moments_bwd)
+
+
+@jax.custom_vjp
+def neighborhood_moments_bucketed(points, neighbors, weights, tg: BucketedTranspose):
+    """Weighted mean + covariance components with the analytic backward over
+    a :class:`BucketedTranspose` graph.
+
+    Identical math to :func:`neighborhood_moments`; the backward gathers the
+    (9, Mq) cotangent table through per-in-degree buckets (<=2x padding
+    instead of max-in-degree padding) and assembles the per-point sums with
+    one (M,)-index gather through ``tg.inv`` — scatter-free, and ~the
+    forward's gather volume (measured ~6x fewer backward indices on the
+    training workload).
+    """
+    mean, comps, _ = _moments_impl(points, neighbors, weights)
+    return mean, comps
+
+
+def _moments_bucketed_fwd(points, neighbors, weights, tg):
+    mean, comps, w_sum = _moments_impl(points, neighbors, weights)
+    return (mean, comps), (points, mean, w_sum, tg)
+
+
+def _moments_bucketed_bwd(res, cotangents):
+    points, mean, w_sum, tg = res
+    table = _cotangent_table(mean, w_sum, cotangents)
+    parts = []
+    for idx_b, w_b in zip(tg.idx, tg.w):
+        g = jnp.take(table, jnp.maximum(idx_b, 0).T, axis=1)  # (9, Ktb, Mb)
+        parts.append(jnp.sum(g * w_b.T[None].astype(table.dtype), axis=1))
+    zero_slot = jnp.zeros((9, 1), table.dtype)
+    sums_all = jnp.concatenate(parts + [zero_slot], axis=1)  # (9, Mr + 1)
+    sums = jnp.take(sums_all, tg.inv, axis=1)  # (9, M)
+    return _grad_from_sums(points, sums), None, None, None
+
+
+neighborhood_moments_bucketed.defvjp(_moments_bucketed_fwd, _moments_bucketed_bwd)
 
 
 def neighborhood_features(
@@ -361,12 +497,20 @@ def neighborhood_features(
         weights = weights[..., 0]
 
     # Fast path: analytic-backward fused moments (frozen weights, no
-    # Gaussian re-weighting) — one 16-bit-rate gather each way, everything
-    # in component form (no padded 3x3 / trailing-K tiles).
-    if t_idx is not None and t_w is not None and scale is None:
+    # Gaussian re-weighting) — lane-axis gathers each way, everything in
+    # component form (no padded 3x3 / trailing-K tiles).
+    if (
+        scale is None
+        and (isinstance(t_idx, BucketedTranspose) or (t_idx is not None and t_w is not None))
+    ):
         from .eigh3 import eigvals3_c
 
-        mean, comps = neighborhood_moments(points, neighbors, weights, t_idx, t_w)
+        if isinstance(t_idx, BucketedTranspose):
+            mean, comps = neighborhood_moments_bucketed(
+                points, neighbors, weights, t_idx
+            )
+        else:
+            mean, comps = neighborhood_moments(points, neighbors, weights, t_idx, t_w)
         a00, a11, a22, a01, a02, a12 = comps
         l1, l2, l3 = eigvals3_c(*comps)
         out = {
@@ -388,7 +532,7 @@ def neighborhood_features(
     # Component layout (D, M, K) end to end: lane-axis gathers keep the
     # component axis free and the covariance reduces over the trailing K
     # lanes without ever materializing an (M, K, 3) relayout.
-    if t_idx is not None:
+    if t_idx is not None and not isinstance(t_idx, BucketedTranspose):
         nbr = _gather_T(points, neighbors, t_idx, t_slot)  # (3, M, K)
     else:
         nbr = jnp.take(points.T, jnp.maximum(neighbors, 0), axis=1)

@@ -113,3 +113,75 @@ def test_end_to_end_training_uses_transpose(tmp_path):
     g_t = float(jax.grad(w_loss)(w0, data)[0])
     g_p = float(jax.grad(w_loss)(w0, data_plain)[0])
     np.testing.assert_allclose(g_t, g_p, rtol=1e-9)
+
+
+def test_bucketed_transpose_structure():
+    """Every valid (query, point) pair appears exactly once across buckets,
+    with its weight; inv maps points to their concatenated-bucket slot."""
+    from depth_correction_tpu.ops.features import build_bucketed_transpose
+
+    rng = np.random.default_rng(7)
+    mq, k, m = 300, 11, 500
+    nb = rng.integers(0, m, (mq, k))
+    nb[rng.random((mq, k)) < 0.3] = -1
+    w = rng.uniform(0.5, 1.5, (mq, k))
+    tg = build_bucketed_transpose(nb, num_points=m, weights=w)
+
+    # Reconstruct per-point pair sets from the buckets.
+    offset = 0
+    got = {}
+    for idx_b, w_b in zip(tg.idx, tg.w):
+        idx_b, w_b = np.asarray(idx_b), np.asarray(w_b)
+        inv = np.asarray(tg.inv)
+        for local_row in range(idx_b.shape[0]):
+            j = int(np.flatnonzero(inv == offset + local_row)[0])
+            for c in range(idx_b.shape[1]):
+                if idx_b[local_row, c] >= 0:
+                    got.setdefault(j, []).append(
+                        (int(idx_b[local_row, c]), float(w_b[local_row, c]))
+                    )
+        offset += idx_b.shape[0]
+    expected = {}
+    for i in range(mq):
+        for c in range(k):
+            if nb[i, c] >= 0:
+                expected.setdefault(int(nb[i, c]), []).append((i, float(w[i, c])))
+    assert {j: sorted(v) for j, v in got.items()} == {
+        j: sorted(v) for j, v in expected.items()
+    }
+    # Padding bound: bucketing keeps padded size within 2x of real pairs
+    # (plus the minimum bucket width floor).
+    real = int((nb >= 0).sum())
+    padded = sum(int(np.asarray(i).size) for i in tg.idx)
+    assert padded <= 2 * real + 8 * len(np.unique(nb[nb >= 0]))
+
+
+def test_bucketed_moments_gradients_match():
+    """Bucketed analytic backward == plain autodiff gradients."""
+    from depth_correction_tpu.ops.features import (
+        build_bucketed_transpose,
+        neighborhood_features,
+    )
+
+    rng = np.random.default_rng(11)
+    m, mq, k = 400, 150, 9
+    pts = rng.uniform(0, 3, (m, 3))
+    nb = rng.integers(0, m, (mq, k))
+    nb[rng.random((mq, k)) < 0.2] = -1
+    nb[:, 0] = rng.integers(0, m, mq)  # at least one valid neighbor
+    nb_j = jnp.asarray(nb, jnp.int32)
+    w = (nb_j >= 0).astype(jnp.float64)
+    tg = build_bucketed_transpose(nb, num_points=m, weights=np.asarray(w))
+
+    def loss(p, t):
+        f = neighborhood_features(p, nb_j, w, compute_normals=False, t_idx=t)
+        ev = f["eigvals"]
+        return jnp.sum(ev[:, 0] / jnp.maximum(ev.sum(-1), 1e-6)) + jnp.sum(
+            f["mean"]
+        )
+
+    p = jnp.asarray(pts)
+    np.testing.assert_allclose(float(loss(p, tg)), float(loss(p, None)), rtol=1e-12)
+    g_b = np.asarray(jax.grad(loss)(p, tg))
+    g_p = np.asarray(jax.grad(loss)(p, None))
+    np.testing.assert_allclose(g_b, g_p, rtol=1e-9, atol=1e-12)
