@@ -24,7 +24,7 @@ from .models import load_model
 from .train import TrainData, init_pose_deltas, make_loss_fn, prepare_sequences
 from .utils.io import append
 
-__all__ = ["eval_loss", "eval_loss_all", "initialize_pose_corrections"]
+__all__ = ["eval_loss", "eval_loss_all", "eval_icp", "initialize_pose_corrections"]
 
 
 def initialize_pose_corrections(data: TrainData, cfg: Config):
@@ -101,9 +101,6 @@ def eval_loss_all(cfg: Config):
         if not names:
             continue
         for loss in cfg.eval_losses:
-            if loss == "icp_loss":
-                # ICP eval needs per-scan normals; handled by eval_icp below.
-                continue
             eval_cfg = cfg.copy()
             eval_cfg.test_names = list(names)
             eval_cfg.train_poses_path = []
@@ -111,7 +108,12 @@ def eval_loss_all(cfg: Config):
             eval_cfg.test_poses_path = []
             eval_cfg.loss = loss
             eval_cfg.loss_eval_csv = loss_eval_csv(cfg.log_dir, loss, suffix)
-            results[(suffix, loss)] = eval_loss(eval_cfg)
+            if loss == "icp_loss":
+                # ICP eval runs over per-scan normals + consecutive pairs
+                # (reference: eval.py:194-211 includes icp in the loss matrix).
+                results[(suffix, loss)] = eval_icp(eval_cfg)
+            else:
+                results[(suffix, loss)] = eval_loss(eval_cfg)
     return results
 
 
@@ -142,4 +144,13 @@ def eval_icp(cfg: Config, test_datasets: Optional[Sequence] = None):
         icp_point_to_plane=bool(cfg.loss_kwargs.get("icp_point_to_plane", True)),
         icp_inlier_ratio=float(cfg.loss_kwargs.get("icp_inlier_ratio", 0.3)),
     )
-    return float(value)
+    value = float(value)
+    names = [str(ds) for ds in test_datasets] if cfg.test_names is None else list(
+        cfg.test_names
+    )
+    print("ICP loss on %s: %.9f" % (", ".join(names), value))
+    # Same flat-file schema as the consistency losses
+    # (reference: eval.py:182-186).
+    if cfg.loss_eval_csv:
+        append(cfg.loss_eval_csv, "%s %.9f\n" % (",".join(names), value))
+    return value

@@ -16,6 +16,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .cloud import Cloud
 from .ops.reduce import masked_mean, masked_quantile, masked_sum, reduce_loss
@@ -29,6 +30,8 @@ __all__ = [
     "point_to_plane_dist",
     "point_to_point_dist",
     "icp_loss",
+    "icp_pair_correspondences",
+    "icp_pair_loss_batched",
 ]
 
 
@@ -347,6 +350,82 @@ def point_to_point_dist(
         d = jnp.linalg.norm(q2 - p1, axis=-1)
         total = total + masked_mean(d, w)
     return total / max(n_pairs, 1)
+
+
+def icp_pair_correspondences(points, valid, icp_inlier_ratio: float = 0.5):
+    """Frozen 1-NN correspondences between consecutive scans of a sequence.
+
+    Host-side equivalent of the reference's precomputed intersection masks
+    (reference: train.py:179-210): for each pair (i, i+1), a KD-tree 1-NN
+    query of scan i's GT-posed points against scan i+1's, gated by the
+    ``icp_inlier_ratio`` distance quantile. Fixed-shape analogue of the
+    reference's (mask1, mask2) boolean/index pair: full-length indices with
+    zero weight on outliers and padding.
+
+    :param points: (S, N, 3) numpy GT-posed points (uncorrected model).
+    :param valid: (S, N) bool, False = padding.
+    :return: (idx (S-1, N) int32 into scan i+1's rows, w (S-1, N) bool).
+    """
+    from scipy.spatial import cKDTree
+
+    points = np.asarray(points)
+    valid = np.asarray(valid)
+    s, n = valid.shape
+    idx = np.zeros((s - 1, n), np.int32)
+    w = np.zeros((s - 1, n), bool)
+    for i in range(s - 1):
+        v1, v2 = valid[i], valid[i + 1]
+        rows2 = np.flatnonzero(v2)
+        tree = cKDTree(points[i + 1][rows2])
+        d, ind = tree.query(points[i], k=1, workers=-1)
+        ind = np.minimum(ind, len(rows2) - 1)
+        thr = np.quantile(d[v1], icp_inlier_ratio)
+        idx[i] = rows2[ind]
+        w[i] = (d <= thr) & v1
+    return idx, w
+
+
+def icp_pair_loss_batched(
+    points: jax.Array,
+    normals: Optional[jax.Array],
+    idx: jax.Array,
+    w: jax.Array,
+    point_to_plane: bool = True,
+) -> jax.Array:
+    """Symmetric ICP distance over consecutive scan pairs, fully batched.
+
+    TPU-first reformulation of the reference's Python pair loop
+    (reference: loss.py:406-565): all S-1 pairs evaluate as one program over
+    (S, N, ...) arrays with precomputed frozen correspondences; gradients
+    flow through the gathered point coordinates (and normals' frame via the
+    pose transform), exactly like the reference's precomputed-mask mode.
+
+    :param points: (S, N, 3) corrected, pose-transformed points.
+    :param normals: (S, N, 3) pose-rotated normals (None for point-to-point).
+    :param idx: (S-1, N) correspondence rows into scan i+1.
+    :param w: (S-1, N) inlier weights (0 on outliers/padding).
+    :return: scalar mean over pairs.
+    """
+    p1 = points[:-1]  # (P, N, 3)
+    p2 = points[1:]
+    gi = jnp.maximum(idx, 0)[..., None]
+    q2 = jnp.take_along_axis(p2, gi, axis=1)  # (P, N, 3)
+    wf = w.astype(points.dtype)
+    w_sum = jnp.maximum(jnp.sum(wf, axis=-1), 1.0)
+    if point_to_plane:
+        assert normals is not None, "point-to-plane needs normals"
+        n1 = normals[:-1]
+        n2 = jnp.take_along_axis(normals[1:], gi, axis=1)
+        # |n . (q - p)| is the distance to the tangent plane (unit normals);
+        # the reference materializes the projected point first
+        # (loss.py:461-475) — algebraically identical.
+        d12 = jnp.sum(jnp.abs(jnp.sum(n1 * (q2 - p1), -1)) * wf, -1) / w_sum
+        d21 = jnp.sum(jnp.abs(jnp.sum(n2 * (p1 - q2), -1)) * wf, -1) / w_sum
+        pair = 0.5 * (d12 + d21)
+    else:
+        d = jnp.linalg.norm(q2 - p1, axis=-1)
+        pair = jnp.sum(d * wf, -1) / w_sum
+    return jnp.mean(pair)
 
 
 def icp_loss(

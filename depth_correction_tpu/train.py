@@ -72,13 +72,18 @@ class TrainData:
     neighbors: tuple  # tuple[(M, K) int32]
     weights: tuple  # tuple[(M, K) float]
     masks: tuple  # tuple[(M,) bool] trainable-region masks
-    # Transpose neighbor graphs for the scatter-free gather backward
-    # (ops.features.build_transpose_graph); None disables.
+    # Transpose neighbor graphs for the scatter-free gather backward:
+    # t_neighbors[i] is a BucketedTranspose (t_slots/t_weights stay None),
+    # or the legacy flat (t_idx, t_slot, t_w) triple; None disables.
     t_neighbors: tuple = ()
     t_slots: tuple = ()
     t_weights: tuple = ()
     # Optional pointwise loss offsets from local neighborhoods (loss_offset).
     offsets: tuple = ()
+    # ICP training: frozen per-pair correspondences (reference train.py:179-210):
+    # icp_idx[i] (S-1, N) rows into scan j+1, icp_w[i] (S-1, N) inlier weights.
+    icp_idx: tuple = ()
+    icp_w: tuple = ()
 
 
 def prepare_sequences(datasets, cfg: Config) -> TrainData:
@@ -87,6 +92,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     from .config import NeighborhoodType
 
     plane_mode = cfg.nn_type == NeighborhoodType.plane
+    icp_mode = cfg.loss == "icp_loss"
     batches: List[SequenceBatch] = []
     neighbors = []
     weights = []
@@ -95,9 +101,24 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     t_slots = []
     t_weights = []
     offsets = []
+    icp_idx = []
+    icp_w = []
     for ds in datasets:
         clouds, poses = [], []
         for scan, pose in ds:
+            if icp_mode:
+                # ICP consumes per-scan normals + planar masks; the global
+                # neighborhood machinery is not used (reference train.py:178).
+                fc = local_feature_cloud(scan, cfg)
+                clouds.append(
+                    fc.replace(
+                        points=None, mean=None, cov=None, eigvals=None,
+                        eigvecs=None, inc_angles=fc.inc_angles, trace=None,
+                        loss=None,
+                    )
+                )
+                poses.append(np.asarray(pose))
+                continue
             if plane_mode:
                 # Plane mode consumes raw clouds; incidence angles come from
                 # the plane normals later (reference: train.py:98-101).
@@ -124,6 +145,30 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         batch = sequence_batch(clouds, np.stack(poses))
         batches.append(batch)
 
+        if icp_mode:
+            from .loss import icp_pair_correspondences
+
+            # Frozen correspondences from GT-posed, uncorrected points
+            # (reference: train.py:179-210).
+            posed = batch.cloud.transform(batch.poses)
+            pair_idx, pair_w = icp_pair_correspondences(
+                np.asarray(posed.to_points()),
+                np.asarray(batch.cloud.valid),
+                float((cfg.loss_kwargs or {}).get("icp_inlier_ratio", 0.5)),
+            )
+            icp_idx.append(jnp.asarray(pair_idx, jnp.int32))
+            icp_w.append(jnp.asarray(pair_w))
+            neighbors.append(None)
+            weights.append(None)
+            masks.append(None)
+            t_neighbors.append(None)
+            t_slots.append(None)
+            t_weights.append(None)
+            offsets.append(None)
+            continue
+        icp_idx.append(None)
+        icp_w.append(None)
+
         gcloud = global_cloud(batch)
         if plane_mode:
             planes, _ = establish_neighborhoods(gcloud, cfg)
@@ -147,7 +192,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         # masked subset instead of every padded point. The gather TABLE
         # (all points) is untouched — masked-out points still serve as
         # neighbors.
-        from .ops.features import build_transpose_graph
+        from .ops.features import build_bucketed_transpose
         from .preproc import pad_size
 
         m_total = int(np.asarray(gmask).shape[0])
@@ -186,12 +231,10 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         else:
             offsets.append(None)
 
-        t_nn, t_sl, t_w = build_transpose_graph(
-            nn_np, num_points=m_total, weights=w_np
-        )
-        t_neighbors.append(t_nn)
-        t_slots.append(t_sl)
-        t_weights.append(t_w)
+        tg = build_bucketed_transpose(nn_np, num_points=m_total, weights=w_np)
+        t_neighbors.append(tg)
+        t_slots.append(None)
+        t_weights.append(None)
     return TrainData(
         batches=tuple(batches),
         neighbors=tuple(neighbors),
@@ -201,6 +244,8 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         t_slots=tuple(t_slots),
         t_weights=tuple(t_weights),
         offsets=tuple(offsets),
+        icp_idx=tuple(icp_idx),
+        icp_w=tuple(icp_w),
     )
 
 
@@ -288,6 +333,36 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
     from .config import NeighborhoodType
 
     plane_mode = cfg.nn_type == NeighborhoodType.plane
+
+    if cfg.loss == "icp_loss":
+        from .loss import icp_pair_loss_batched
+        from .preproc import corrected_poses
+
+        p2plane = bool((cfg.loss_kwargs or {}).get("icp_point_to_plane", True))
+
+        def icp_loss_fn(params, data: TrainData = None):
+            """Batched ICP objective over frozen correspondences
+            (reference: train.py:179-210, loss.py:373-403)."""
+            if data is None:
+                data = bound_data
+            model = params["model"]
+            pose_deltas = params.get("pose_deltas")
+            total = 0.0
+            for i, batch in enumerate(data.batches):
+                delta = _delta_for_seq(pose_deltas, i, mode)
+                cloud = model.apply(batch.cloud) if model is not None else batch.cloud
+                poses = corrected_poses(batch.poses, delta)
+                tc = cloud.transform(poses)
+                total = total + icp_pair_loss_batched(
+                    tc.to_points(),
+                    tc.normals,
+                    data.icp_idx[i],
+                    data.icp_w[i],
+                    point_to_plane=p2plane,
+                )
+            return total / max(len(data.batches), 1)
+
+        return icp_loss_fn
 
     def loss_fn(params, data: TrainData = None):
         if data is None:
