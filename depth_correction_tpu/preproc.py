@@ -126,12 +126,18 @@ def local_feature_cloud(
     cloud,
     cfg: Config,
     pad_to: Optional[int] = None,
+    return_neighbors: bool = False,
 ) -> Cloud:
     """Build a per-scan feature cloud: neighbors + mean/cov/eigh/normals/
     incidence angles + eigenvalue masks.
 
     The resulting ``mask`` marks the locally-planar, correctable region the
     model is applied to (reference: preproc.py:53-62).
+
+    :param return_neighbors: also return the per-scan (neighbors, weights)
+        used for the features — the loss-offset path re-evaluates local
+        features under the current model over these frozen neighborhoods
+        (reference: preproc.py:67-77).
     """
     dtype = cfg.jax_float_type()
     if isinstance(cloud, np.ndarray) and cloud.dtype.names:
@@ -173,7 +179,10 @@ def local_feature_cloud(
         mask = mask & filter_eigenvalue_ratios_mask(
             cloud.eigvals, cfg.eigenvalue_ratio_bounds
         )
-    return cloud.replace(mask=mask)
+    out = cloud.replace(mask=mask)
+    if return_neighbors:
+        return out, neighbors, weights
+    return out
 
 
 def _host_neighbors(points, valid, cfg: Config, k_max: Optional[int] = None):

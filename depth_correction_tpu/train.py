@@ -78,8 +78,17 @@ class TrainData:
     t_neighbors: tuple = ()
     t_slots: tuple = ()
     t_weights: tuple = ()
-    # Optional pointwise loss offsets from local neighborhoods (loss_offset).
+    # Optional STATIC pointwise loss offsets (legacy; prefer the dynamic
+    # fields below, which re-evaluate the local loss under the current model).
     offsets: tuple = ()
+    # Dynamic loss_offset (reference: preproc.py:67-77, eval.py:88): frozen
+    # LOCAL (per-scan) neighborhoods of the compacted query rows, flattened
+    # into the (S*N,) local-point axis. The loss recomputes local eigvals
+    # under the current model each step and subtracts the pointwise local
+    # loss — the offset tracks the model instead of the w=0 state.
+    off_neighbors: tuple = ()  # tuple[(Mq, Kl) int32] or None
+    off_weights: tuple = ()  # tuple[(Mq, Kl) float] or None
+    off_transpose: tuple = ()  # tuple[BucketedTranspose] or None
     # ICP training: frozen per-pair correspondences (reference train.py:179-210):
     # icp_idx[i] (S-1, N) rows into scan j+1, icp_w[i] (S-1, N) inlier weights.
     icp_idx: tuple = ()
@@ -101,10 +110,14 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     t_slots = []
     t_weights = []
     offsets = []
+    off_neighbors = []
+    off_weights = []
+    off_transpose = []
     icp_idx = []
     icp_w = []
     for ds in datasets:
         clouds, poses = [], []
+        local_nns: List[np.ndarray] = []
         for scan, pose in ds:
             if icp_mode:
                 # ICP consumes per-scan normals + planar masks; the global
@@ -128,16 +141,23 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
                 c = _Cloud.from_structured_array(scan, dtype=cfg.numpy_float_type())
                 clouds.append(c.pad(pad_size(c.size)))
             else:
-                fc = local_feature_cloud(scan, cfg)
+                if cfg.loss_offset:
+                    # Keep the per-scan neighborhoods: the loss re-evaluates
+                    # the LOCAL features under the current model each step
+                    # (reference: preproc.py:67-77, eval.py:88).
+                    fc, lnn, _lw = local_feature_cloud(
+                        scan, cfg, return_neighbors=True
+                    )
+                    local_nns.append(np.asarray(lnn))
+                else:
+                    fc = local_feature_cloud(scan, cfg)
                 # The hot loop consumes source fields + incidence angles +
                 # the planar mask only. Derived per-scan fields (cov,
                 # eigvecs, ...) carry (N, 3, 3) tiles that pad to (8, 128)
-                # lanes on TPU — gigabytes of dead HBM if kept. Local
-                # eigenvalues survive only to build the loss offset.
+                # lanes on TPU — gigabytes of dead HBM if kept.
                 clouds.append(
                     fc.replace(
-                        points=None, mean=None, cov=None,
-                        eigvals=fc.eigvals if cfg.loss_offset else None,
+                        points=None, mean=None, cov=None, eigvals=None,
                         eigvecs=None, normals=None, trace=None, loss=None,
                     )
                 )
@@ -165,6 +185,9 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             t_slots.append(None)
             t_weights.append(None)
             offsets.append(None)
+            off_neighbors.append(None)
+            off_weights.append(None)
+            off_transpose.append(None)
             continue
         icp_idx.append(None)
         icp_w.append(None)
@@ -179,6 +202,9 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             t_slots.append(None)
             t_weights.append(None)
             offsets.append(None)
+            off_neighbors.append(None)
+            off_weights.append(None)
+            off_transpose.append(None)
             continue
         nn, w = establish_neighborhoods(gcloud, cfg)
         feat = compute_neighborhood_features(gcloud, nn, w, cfg)
@@ -209,27 +235,31 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         weights.append(w_q)
         masks.append(jnp.asarray(qrows >= 0))
 
-        # Pointwise loss offset from LOCAL (per-scan) neighborhoods
-        # (reference: preproc.py:67-77, loss.py:279-281): subtracting the
-        # local-cloud consistency keeps only the cross-scan misalignment.
+        # Dynamic loss offset (reference: preproc.py:67-77, loss.py:279-281):
+        # carry the frozen LOCAL (per-scan) neighborhoods of the query rows so
+        # the loss can re-evaluate the local pointwise consistency under the
+        # CURRENT model each step and subtract it — only the cross-scan
+        # misalignment remains trainable signal.
+        offsets.append(None)
         if cfg.loss_offset:
-            from .preproc import flatten_batch
-
-            ev = np.asarray(flatten_batch(batch.cloud).eigvals)
-            if cfg.loss == "trace_loss":
-                pw = ev.sum(-1)
-            else:
-                pw = ev[:, 0]
-                if cfg.loss_kwargs.get("normalization"):
-                    pw = pw / np.maximum(ev.sum(-1), 1e-6)
-            offs = pw[np.maximum(qrows, 0)]
-            offs[qrows < 0] = 0.0
-            offsets.append(jnp.asarray(offs, cfg.jax_float_type()))
-            batches[-1] = SequenceBatch(
-                cloud=batch.cloud.replace(eigvals=None), poses=batch.poses
+            s_dim, n_dim = batch.num_scans, batch.cloud.depth.shape[1]
+            kl = max(a.shape[1] for a in local_nns)
+            flat_nn = np.full((s_dim * n_dim, kl), -1, np.int64)
+            for s, a in enumerate(local_nns):
+                block = np.where(a >= 0, a + s * n_dim, -1)
+                flat_nn[s * n_dim : s * n_dim + a.shape[0], : a.shape[1]] = block
+            onn = flat_nn[np.maximum(qrows, 0)]
+            onn[qrows < 0] = -1
+            ow = (onn >= 0).astype(np.asarray(w).dtype)
+            off_neighbors.append(jnp.asarray(onn, jnp.int32))
+            off_weights.append(jnp.asarray(ow))
+            off_transpose.append(
+                build_bucketed_transpose(onn, num_points=s_dim * n_dim, weights=ow)
             )
         else:
-            offsets.append(None)
+            off_neighbors.append(None)
+            off_weights.append(None)
+            off_transpose.append(None)
 
         tg = build_bucketed_transpose(nn_np, num_points=m_total, weights=w_np)
         t_neighbors.append(tg)
@@ -244,6 +274,9 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         t_slots=tuple(t_slots),
         t_weights=tuple(t_weights),
         offsets=tuple(offsets),
+        off_neighbors=tuple(off_neighbors),
+        off_weights=tuple(off_weights),
+        off_transpose=tuple(off_transpose),
         icp_idx=tuple(icp_idx),
         icp_w=tuple(icp_w),
     )
@@ -364,12 +397,33 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
 
         return icp_loss_fn
 
+    def _local_offset(model, batch, onn, ow, otg):
+        """Pointwise local-cloud loss under the CURRENT model — the dynamic
+        loss offset (reference: preproc.py:67-77: offset clouds are the
+        model-corrected local clouds; the loss subtracts their pointwise
+        consistency, loss.py:279-281)."""
+        from .ops.features import neighborhood_features
+        from .preproc import flatten_batch
+
+        local = model.apply(batch.cloud) if model is not None else batch.cloud
+        pts = flatten_batch(local).get_points()
+        f = neighborhood_features(
+            pts, onn, ow, scale=cfg.nn_scale, compute_normals=False, t_idx=otg
+        )
+        if cfg.loss == "trace_loss":
+            return f["trace"]
+        off = f["eigvals"][..., 0]
+        if (cfg.loss_kwargs or {}).get("normalization"):
+            off = off / jnp.maximum(f["eigvals"].sum(-1), 1e-6)
+        return off
+
     def loss_fn(params, data: TrainData = None):
         if data is None:
             data = bound_data
         model = params["model"]
         pose_deltas = params.get("pose_deltas")
         feats = []
+        dyn_offsets = []
         for i, batch in enumerate(data.batches):
             delta = _delta_for_seq(pose_deltas, i, mode)
             if plane_mode:
@@ -402,11 +456,21 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
                     valid=data.masks[i],
                 )
             feats.append(feat)
-        offsets = (
-            list(data.offsets)
-            if data.offsets and any(o is not None for o in data.offsets)
-            else None
-        )
+            onn = data.off_neighbors[i] if data.off_neighbors else None
+            if onn is not None:
+                dyn_offsets.append(
+                    _local_offset(
+                        model, batch, onn, data.off_weights[i], data.off_transpose[i]
+                    )
+                )
+            else:
+                dyn_offsets.append(None)
+        if any(o is not None for o in dyn_offsets):
+            offsets = dyn_offsets
+        elif data.offsets and any(o is not None for o in data.offsets):
+            offsets = list(data.offsets)
+        else:
+            offsets = None
         value, _ = loss_fun(list(feats), mask=list(data.masks), offset=offsets)
         return value
 

@@ -31,13 +31,68 @@ def test_loss_offset_reduces_loss():
     cfg_off = cfg_base(True)
     data_raw = prepare_sequences([ds], cfg_raw)
     data_off = prepare_sequences([ds], cfg_off)
-    assert data_off.offsets[0] is not None
-    assert np.asarray(data_off.offsets[0]).max() > 0
+    assert data_off.off_neighbors[0] is not None
+    assert np.asarray(data_off.off_neighbors[0]).max() > 0
 
     model = ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))
     raw = float(make_loss_fn(cfg_raw)({"model": model}, data_raw))
     off = float(make_loss_fn(cfg_off)({"model": model}, data_off))
     assert 0.0 <= off < raw
+
+
+def test_loss_offset_tracks_current_model():
+    """The dynamic offset equals a FROM-SCRATCH local-loss recomputation
+    under the current model at several w values (reference: preproc.py:67-77
+    applies the model to the local clouds before offsetting)."""
+    import jax
+
+    from depth_correction_tpu.ops.features import neighborhood_features
+    from depth_correction_tpu.preproc import flatten_batch
+
+    cfg = cfg_base(True)
+    ds = create_dataset("ground_plane/4", cfg)
+    data = prepare_sequences([ds], cfg)
+    batch = data.batches[0]
+    onn, ow = data.off_neighbors[0], data.off_weights[0]
+
+    loss_fn = make_loss_fn(cfg)
+    for w in (-0.004, 0.0, 0.003):
+        model = ScaledPolynomial(w=jnp.asarray([w]), exponent=jnp.asarray([4.0]))
+
+        # From-scratch: apply the model to the LOCAL clouds, recompute local
+        # eigvals over the frozen local neighborhoods (autodiff path, no
+        # transpose graph), take lambda_1.
+        local = flatten_batch(model.apply(batch.cloud))
+        f = neighborhood_features(
+            local.get_points(), onn, ow, compute_normals=False
+        )
+        expected = np.asarray(f["eigvals"][..., 0])
+
+        # The trainer's offset: recomputed inside loss_fn via the analytic
+        # transpose path. Compare through the scalar loss: loss(with offset)
+        # must equal loss(raw) with `expected` subtracted pointwise.
+        got = float(loss_fn({"model": model}, data))
+        cfg_raw = cfg_base(False)
+        data_raw = prepare_sequences([ds], cfg_raw)
+        raw_fn = make_loss_fn(cfg_raw)
+
+        from depth_correction_tpu.loss import create_loss
+        from depth_correction_tpu.train import FeatureRows
+
+        # Recompute the raw pointwise loss on the same rows and subtract the
+        # expected offset manually.
+        from depth_correction_tpu.preproc import global_cloud
+
+        g = global_cloud(batch, model=model)
+        fg = neighborhood_features(
+            g.get_points(), data.neighbors[0], data.weights[0],
+            compute_normals=False,
+        )
+        pw = np.asarray(fg["eigvals"][..., 0])
+        mask = np.asarray(data.masks[0])
+        manual = np.maximum(pw - expected, 0.0)[mask].mean()
+        assert np.isfinite(got)
+        np.testing.assert_allclose(got, manual, rtol=1e-5)
 
 
 def test_lbfgs_optimizer_trains():
