@@ -35,7 +35,13 @@ from .ops.filters import (
     ball_angle_to_distance,
     global_cloud_mask,
 )
+from .ops.grid_hash import grid_radius_neighbors
 from .ops.knn import nearest_neighbors, radius_neighbors, suggest_k_max
+
+# On-device radius searches switch from the O(N*Q) tiled scan to the
+# grid-hash engine (ops/grid_hash.py) above this size; below it the scan's
+# single compiled program is cheaper than the grid's sort+searchsorted setup.
+GRID_NN_MIN_POINTS = 65536
 from .ops.se3 import xyz_axis_angle_to_matrix
 
 __all__ = [
@@ -254,6 +260,20 @@ def _host_neighbors(points, valid, cfg: Config, k_max: Optional[int] = None):
     return idx, weights
 
 
+def _device_radius_neighbors(points, r, k, valid, backend=None):
+    """Pick the on-device radius engine: grid-hash for big clouds / when
+    forced (``nn_backend == 'grid'``), tiled scan otherwise. Both are exact."""
+    if backend == "grid" or (
+        backend is None and points.shape[0] >= GRID_NN_MIN_POINTS
+    ):
+        return grid_radius_neighbors(
+            points, r=r, k=int(k), valid_points=valid, valid_query=valid
+        )
+    return radius_neighbors(
+        points, r=r, k=int(k), valid_points=valid, valid_query=valid
+    )
+
+
 def establish_scan_neighbors(cloud: Cloud, cfg: Config):
     """Neighbor graph of a single cloud per config (kNN or ball radius)."""
     points = cloud.get_points()
@@ -272,12 +292,8 @@ def establish_scan_neighbors(cloud: Cloud, cfg: Config):
         k = cfg.nn_max_neighbors or suggest_k_max(
             points, r=cfg.nn_r, valid_points=cloud.valid
         )
-        dist, idx = radius_neighbors(
-            points,
-            r=cfg.nn_r,
-            k=int(k),
-            valid_points=cloud.valid,
-            valid_query=cloud.valid,
+        dist, idx = _device_radius_neighbors(
+            points, cfg.nn_r, k, cloud.valid, backend=cfg.nn_backend
         )
     weights = (idx >= 0).astype(points.dtype)
     return idx, weights
@@ -430,12 +446,8 @@ def establish_neighborhoods(
         k = k_max or cfg.nn_max_neighbors or suggest_k_max(
             points, r=cfg.nn_r, valid_points=gcloud.valid
         )
-        _, idx = radius_neighbors(
-            points,
-            r=cfg.nn_r,
-            k=int(k),
-            valid_points=gcloud.valid,
-            valid_query=gcloud.valid,
+        _, idx = _device_radius_neighbors(
+            points, cfg.nn_r, k, gcloud.valid, backend=cfg.nn_backend
         )
         weights = None
     if capped and getattr(cfg, "nn_symmetrize", True):

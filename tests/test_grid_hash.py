@@ -1,0 +1,98 @@
+"""Grid-hash radius search: set-exactness vs scipy cKDTree and the tiled scan."""
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from depth_correction_tpu.ops.grid_hash import (
+    grid_neighbor_counts,
+    grid_radius_neighbors,
+)
+from depth_correction_tpu.ops.knn import neighbor_counts, radius_neighbors
+
+
+def neighbor_sets(idx):
+    return [set(int(j) for j in row if j >= 0) for row in np.asarray(idx)]
+
+
+@pytest.mark.parametrize("seed,n,r", [(0, 3000, 0.25), (1, 5000, 0.4)])
+def test_grid_matches_ckdtree(seed, n, r):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    counts = np.array([len(b) for b in cKDTree(pts).query_ball_point(pts, r)])
+    k = int(counts.max())
+
+    d, idx = grid_radius_neighbors(pts, r=r, k=k + 3)
+    got = neighbor_sets(idx)
+    want = [set(b) for b in cKDTree(pts).query_ball_point(pts, r)]
+    assert got == want
+    # Distances ascending, within r, diagonal (self) present at 0.
+    d = np.asarray(d)
+    finite = np.isfinite(d)
+    assert (d[finite] <= r + 1e-6).all()
+    dd = np.where(finite, d, 1e9)  # finite sentinel keeps diff well-defined
+    assert (np.diff(dd, axis=1) >= -1e-6)[finite[:, 1:]].all()
+
+
+def test_grid_validity_masks_and_padding():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-2, 2, (1500, 3)).astype(np.float32)
+    valid = rng.uniform(size=1500) > 0.3
+    pts_pad = np.concatenate([pts, np.zeros((100, 3), np.float32)])
+    valid_pad = np.concatenate([valid, np.zeros(100, bool)])
+
+    r = 0.5
+    tree = cKDTree(pts[valid])
+    idx_map = np.flatnonzero(valid)
+    want = [
+        set(idx_map[b]) if v else set()
+        for b, v in zip(tree.query_ball_point(pts, r), valid)
+    ]
+    counts = max((len(s) for s in want), default=1)
+
+    d, idx = grid_radius_neighbors(
+        pts_pad, r=r, k=counts + 2, valid_points=valid_pad, valid_query=valid_pad
+    )
+    got = neighbor_sets(idx[: len(pts)])
+    assert got == want
+    assert (np.asarray(idx[len(pts) :]) == -1).all()
+
+
+def test_grid_matches_tiled_scan():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-3, 3, (2048, 3)).astype(np.float32)
+    r, k = 0.35, 48
+    d_g, i_g = grid_radius_neighbors(pts, r=r, k=k)
+    d_t, i_t = radius_neighbors(pts, r=r, k=k)
+    assert neighbor_sets(i_g) == neighbor_sets(i_t)
+
+
+def test_grid_counts():
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-3, 3, (2000, 3)).astype(np.float32)
+    r = 0.3
+    got = np.asarray(grid_neighbor_counts(pts, r=r))
+    want = np.asarray(neighbor_counts(pts, r=r))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_grid_query_differs_from_points():
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-2, 2, (1200, 3)).astype(np.float32)
+    q = rng.uniform(-2, 2, (700, 3)).astype(np.float32)
+    r = 0.45
+    tree = cKDTree(pts)
+    want = [set(b) for b in tree.query_ball_point(q, r)]
+    k = max((len(s) for s in want), default=1)
+    _, idx = grid_radius_neighbors(pts, query=q, r=r, k=k + 2)
+    assert neighbor_sets(idx) == want
+
+
+def test_grid_bucket_cap_exact_when_sized():
+    """Explicit bucket_cap >= true occupancy stays exact."""
+    rng = np.random.default_rng(6)
+    pts = rng.uniform(-1, 1, (800, 3)).astype(np.float32)
+    r = 0.5
+    want = [set(b) for b in cKDTree(pts).query_ball_point(pts, r)]
+    k = max(len(s) for s in want)
+    _, idx = grid_radius_neighbors(pts, r=r, k=k + 1, bucket_cap=256)
+    assert neighbor_sets(idx) == want
