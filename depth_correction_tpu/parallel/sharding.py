@@ -42,46 +42,134 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def shard_train_data(data, mesh: Mesh):
+def _stacked_shard_transposes(neighbors, weights, num_points: int, n_devices: int):
+    """Per-device transpose graphs for the analytic moments backward.
+
+    The query rows are split into ``n_devices`` contiguous shards; each
+    shard's transpose (point j -> its query rows WITHIN the shard) is built
+    independently and the results are padded to a common in-degree width and
+    stacked to (D * M, Kt) — shard_map slices off each device's (M, Kt)
+    block. The per-point gradient sums are linear in the transpose pairs, so
+    shard-local partial gradients psum (via shard_map's replicated-input
+    transpose rule) to the exact global gradient.
+    """
+    from ..ops.features import build_transpose_graph
+
+    nb = np.asarray(neighbors)
+    w = np.asarray(weights)
+    mq = nb.shape[0]
+    assert mq % n_devices == 0, (mq, n_devices)
+    qs = mq // n_devices
+    parts = []
+    for d in range(n_devices):
+        t_idx, _, t_w = build_transpose_graph(
+            nb[d * qs : (d + 1) * qs],
+            num_points=num_points,
+            weights=w[d * qs : (d + 1) * qs],
+        )
+        parts.append((np.asarray(t_idx), np.asarray(t_w)))
+    kt = max(p[0].shape[1] for p in parts)
+    t_idx_all = np.full((n_devices * num_points, kt), -1, np.int32)
+    t_w_all = np.zeros((n_devices * num_points, kt), w.dtype)
+    for d, (ti, tw) in enumerate(parts):
+        t_idx_all[d * num_points : d * num_points + ti.shape[0], : ti.shape[1]] = ti
+        t_w_all[d * num_points : d * num_points + tw.shape[0], : tw.shape[1]] = tw
+    return jnp.asarray(t_idx_all), jnp.asarray(t_w_all)
+
+
+def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
     """Place per-point arrays (neighbors/weights/masks) on the mesh, sharded
     along the point axis; sequence batches are replicated.
 
     Point counts are padded to multiples of 512 (preproc.pad_size), which
     divides typical mesh sizes; shard_map requires exact divisibility.
+
+    With ``analytic_vjp`` (default), per-device transpose graphs are built so
+    the sharded backward uses the scatter-free analytic moments VJP
+    (ops/features.py) instead of XLA's serialized scatter-add; ICP
+    correspondences shard along the per-pair point axis.
     """
     point_sharded = NamedSharding(mesh, P(DATA_AXIS))
+    pair_point_sharded = NamedSharding(mesh, P(None, DATA_AXIS))
     replicated = NamedSharding(mesh, P())
+    n_dev = int(np.prod(mesh.devices.shape))
 
     def place(x, sharding):
         return jax.device_put(x, sharding)
 
     import dataclasses
 
+    t_neighbors = []
+    t_weights = []
+    for i, nn in enumerate(data.neighbors):
+        if not analytic_vjp or nn is None:
+            t_neighbors.append(None)
+            t_weights.append(None)
+            continue
+        m = int(np.prod(np.asarray(data.batches[i].cloud.depth).shape))
+        t_idx, t_w = _stacked_shard_transposes(nn, data.weights[i], m, n_dev)
+        t_neighbors.append(place(t_idx, point_sharded))
+        t_weights.append(place(t_w, point_sharded))
+
     return dataclasses.replace(
         data,
         batches=jax.tree_util.tree_map(lambda x: place(x, replicated), data.batches),
-        neighbors=tuple(place(n, point_sharded) for n in data.neighbors),
-        weights=tuple(place(w, point_sharded) for w in data.weights),
-        masks=tuple(place(m, point_sharded) for m in data.masks),
+        neighbors=tuple(
+            place(n, point_sharded) if n is not None else None
+            for n in data.neighbors
+        ),
+        weights=tuple(
+            place(w, point_sharded) if w is not None else None
+            for w in data.weights
+        ),
+        masks=tuple(
+            place(m, point_sharded) if m is not None else None for m in data.masks
+        ),
+        t_neighbors=tuple(t_neighbors),
+        t_slots=tuple(None for _ in data.neighbors),
+        t_weights=tuple(t_weights),
+        icp_idx=tuple(
+            place(x, pair_point_sharded) if x is not None else None
+            for x in data.icp_idx
+        ),
+        icp_w=tuple(
+            place(x, pair_point_sharded) if x is not None else None
+            for x in data.icp_w
+        ),
     )
 
 
 def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
-    """Sharded analogue of ``train.make_loss_fn`` for the consistency losses.
+    """Sharded analogue of ``train.make_loss_fn``.
 
-    Model/pose application is replicated (O(M) elementwise — negligible);
-    the O(M*K) neighborhood gather + covariance + eigendecomposition runs on
-    point shards; reduction is psum.
+    Consistency losses: model/pose application is replicated (O(M)
+    elementwise — negligible); the O(M*K) neighborhood gather + covariance +
+    eigendecomposition runs on point shards; the backward uses the analytic
+    moments VJP over per-shard transpose graphs when ``shard_train_data``
+    built them (shard-local partial gradients psum to the exact global
+    gradient); reduction is a psum pair.
+
+    ICP loss: correspondences shard along the per-pair point axis; each
+    device reduces its slice of the pair sums, one psum per reduction.
     """
+    if cfg.loss == "icp_loss":
+        return _make_sharded_icp_loss_fn(data, cfg, mesh)
     if cfg.loss not in ("min_eigval_loss", "trace_loss"):
-        raise NotImplementedError("sharded step supports the consistency losses")
+        raise NotImplementedError(
+            "sharded step supports the consistency losses and icp_loss"
+        )
+    if cfg.loss_offset:
+        raise NotImplementedError(
+            "loss_offset is not wired into the sharded step yet; train "
+            "single-chip or disable loss_offset"
+        )
     kwargs = dict(cfg.loss_kwargs or {})
     normalization = bool(kwargs.get("normalization", False))
     use_trace = cfg.loss == "trace_loss"
     sqrt = bool(kwargs.get("sqrt", False))
     mode = cfg.pose_correction
 
-    def seq_loss(params, batch, neighbors, weights, mask):
+    def seq_loss(params, batch, neighbors, weights, mask, t_idx, t_w):
         """Masked (sum, count) of the pointwise loss, psum-reduced."""
         model = params["model"]
         # loss_fn below narrows pose_deltas to a 1-tuple holding this
@@ -91,9 +179,12 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         # Replicated: correct + pose + merge (full cloud on each device).
         gcloud = global_cloud(batch, model=model, pose_deltas=delta)
         points = gcloud.get_points()
-        # Sharded: features of my point shard only.
+        # Sharded: features of my point shard only; the analytic backward
+        # rides this shard's transpose graph (scatter-free), and shard_map's
+        # replicated-input transpose psums the partial point gradients.
         feats = neighborhood_features(
-            points, neighbors, weights, scale=cfg.nn_scale, compute_normals=False
+            points, neighbors, weights, scale=cfg.nn_scale,
+            compute_normals=False, t_idx=t_idx, t_w=t_w,
         )
         if use_trace:
             pointwise = feats["trace"]
@@ -109,11 +200,22 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         c = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
         return s, c
 
-    sharded_seq_loss = jax.shard_map(
+    sharded_with_t = jax.shard_map(
         seq_loss,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    sharded_no_t = jax.shard_map(
+        lambda params, batch, nn, w, mask: seq_loss(
+            params, batch, nn, w, mask, None, None
+        ),
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P()),
+        check_vma=False,
     )
 
     bound_data = data
@@ -131,11 +233,100 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
                 PoseCorrection.pose,
             ):
                 p["pose_deltas"] = (deltas[i],)
-            s, c = sharded_seq_loss(
-                p, batch, data.neighbors[i], data.weights[i], data.masks[i]
-            )
+            t_idx = data.t_neighbors[i] if data.t_neighbors else None
+            t_w = data.t_weights[i] if data.t_weights else None
+            # Sharded transposes are plain stacked arrays; a BucketedTranspose
+            # here means the data was not prepared by shard_train_data.
+            if t_idx is not None and t_w is not None and not hasattr(t_idx, "idx"):
+                s, c = sharded_with_t(
+                    p, batch, data.neighbors[i], data.weights[i], data.masks[i],
+                    t_idx, t_w,
+                )
+            else:
+                s, c = sharded_no_t(
+                    p, batch, data.neighbors[i], data.weights[i], data.masks[i]
+                )
             total = total + s
             count = count + c
         return total / jnp.maximum(count, 1)
+
+    return loss_fn
+
+
+def _make_sharded_icp_loss_fn(data, cfg: Config, mesh: Mesh):
+    """Point-sharded ICP objective (reference: loss.py:373-403 semantics,
+    frozen correspondences like train.py:179-210).
+
+    Each device holds an N/D slice of every pair's correspondence rows; it
+    slices the matching rows of the replicated source scan (by
+    ``axis_index``), gathers targets from the full replicated next scan, and
+    psums the per-pair weighted sums.
+    """
+    from ..loss import icp_pair_loss_batched
+    from ..preproc import corrected_poses
+
+    p2plane = bool((cfg.loss_kwargs or {}).get("icp_point_to_plane", True))
+    mode = cfg.pose_correction
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def seq_loss(params, batch, idx, w):
+        model = params["model"]
+        deltas = params.get("pose_deltas")
+        delta = deltas[0] if deltas is not None else None
+        cloud = model.apply(batch.cloud) if model is not None else batch.cloud
+        poses = corrected_poses(batch.poses, delta)
+        tc = cloud.transform(poses)
+        points = tc.to_points()  # (S, N, 3) replicated
+        normals = tc.normals
+
+        # My slice of the source rows; targets gather from the full scans.
+        n = points.shape[1]
+        shard = n // n_dev
+        start = jax.lax.axis_index(DATA_AXIS) * shard
+        p1 = jax.lax.dynamic_slice_in_dim(points[:-1], start, shard, axis=1)
+        gi = jnp.maximum(idx, 0)[..., None]
+        q2 = jnp.take_along_axis(points[1:], gi, axis=1)  # (P, shard, 3)
+        wf = w.astype(points.dtype)
+        w_sum = jax.lax.psum(jnp.sum(wf, axis=-1), DATA_AXIS)
+        w_sum = jnp.maximum(w_sum, 1.0)
+        if p2plane:
+            n1 = jax.lax.dynamic_slice_in_dim(normals[:-1], start, shard, axis=1)
+            n2 = jnp.take_along_axis(normals[1:], gi, axis=1)
+            d12 = jax.lax.psum(
+                jnp.sum(jnp.abs(jnp.sum(n1 * (q2 - p1), -1)) * wf, -1), DATA_AXIS
+            ) / w_sum
+            d21 = jax.lax.psum(
+                jnp.sum(jnp.abs(jnp.sum(n2 * (p1 - q2), -1)) * wf, -1), DATA_AXIS
+            ) / w_sum
+            pair = 0.5 * (d12 + d21)
+        else:
+            d = jnp.sqrt(jnp.sum((q2 - p1) ** 2, axis=-1))
+            pair = jax.lax.psum(jnp.sum(d * wf, -1), DATA_AXIS) / w_sum
+        return jnp.mean(pair)
+
+    sharded_seq_loss = jax.shard_map(
+        seq_loss,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    bound_data = data
+
+    def loss_fn(params, data=None):
+        if data is None:
+            data = bound_data
+        total = 0.0
+        deltas = params.get("pose_deltas")
+        for i, batch in enumerate(data.batches):
+            p = dict(params)
+            if deltas is not None and mode in (
+                PoseCorrection.sequence,
+                PoseCorrection.pose,
+            ):
+                p["pose_deltas"] = (deltas[i],)
+            total = total + sharded_seq_loss(p, batch, data.icp_idx[i], data.icp_w[i])
+        return total / max(len(data.batches), 1)
 
     return loss_fn

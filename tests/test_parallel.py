@@ -45,6 +45,76 @@ def test_sharded_loss_matches_single_device():
     np.testing.assert_allclose(g_got, g_ref, rtol=1e-5)
 
 
+def test_sharded_analytic_vjp_used_and_exact():
+    """shard_train_data builds per-shard transpose graphs; the sharded
+    value_and_grad matches the single-device analytic path to 1e-6."""
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn
+
+    cfg, data, model = _setup()
+    mesh = make_mesh(8)
+    sharded = shard_train_data(data, mesh)
+    assert sharded.t_neighbors[0] is not None
+    assert not hasattr(sharded.t_neighbors[0], "idx")  # stacked arrays
+    assert sharded.t_neighbors[0].shape[0] % 8 == 0
+
+    def single(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_loss_fn(data, cfg)(p)
+
+    def multi(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_sharded_loss_fn(sharded, cfg, mesh)(p)
+
+    w0 = jnp.asarray([-0.002])
+    v_ref, g_ref = jax.value_and_grad(single)(w0)
+    v_got, g_got = jax.jit(jax.value_and_grad(multi))(w0)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_sharded_icp_loss_matches_single_device():
+    """Point-sharded ICP objective: loss and gradient match the
+    single-device batched path."""
+    import __graft_entry__ as ge
+
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+    from depth_correction_tpu.datasets import create_dataset
+
+    cfg, _, _ = ge._tiny_setup(
+        {"loss": "icp_loss",
+         "loss_kwargs": {"icp_point_to_plane": True, "icp_inlier_ratio": 0.8}}
+    )
+    ds = create_dataset(cfg.train_names[0], cfg)
+    data = prepare_sequences([ds], cfg)
+    mesh = make_mesh(8)
+    sharded = shard_train_data(data, mesh)
+    assert sharded.icp_idx[0] is not None
+
+    def single(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_loss_fn(data, cfg)(p)
+
+    def multi(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_sharded_loss_fn(sharded, cfg, mesh)(p)
+
+    w0 = jnp.asarray([-0.001])
+    v_ref, g_ref = jax.value_and_grad(single)(w0)
+    v_got, g_got = jax.jit(jax.value_and_grad(multi))(w0)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
