@@ -225,6 +225,9 @@ class Config(Configurable):
         # TPU / parallelism.
         self.mesh_shape = None  # e.g. {'data': 8}; None = single device
         self.donate_buffers = True
+        # Observability: write a jax.profiler trace of a few hot-loop steps
+        # (open with TensorBoard / Perfetto); None disables.
+        self.profile_dir = None
 
         self.from_dict(kwargs)
 

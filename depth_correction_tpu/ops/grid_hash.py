@@ -89,39 +89,53 @@ def _grid_query_chunk(
     cell_size: float,
 ):
     n = ids_sorted.shape[0]
+    q = q_pts.shape[0]
     cq = jnp.floor((q_pts - mins) / cell_size).astype(jnp.int32)  # (Q, 3)
 
-    # 27 neighbor-cell ids; out-of-range coords alias other cells, which only
-    # adds distance-filtered candidates (see module docstring).
+    # The three z-neighbor cells of each (dx, dy) column have CONTIGUOUS
+    # linear ids, so one searchsorted per column + a 3*bucket_cap window
+    # covers them: 9 binary searches instead of 27. Out-of-range coords
+    # alias other real cells, which only adds distance-filtered candidates
+    # and never loses one (see module docstring); the preceding alias run is
+    # itself <= bucket_cap, so the window still covers every real cell.
     offs = jnp.asarray(
-        [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-        jnp.int32,
-    )  # (27, 3)
-    cc = cq[:, None, :] + offs[None]  # (Q, 27, 3)
-    target = (cc[..., 0] * dims[1] + cc[..., 1]) * dims[2] + cc[..., 2]  # (Q, 27)
+        [[dx, dy] for dx in (-1, 0, 1) for dy in (-1, 0, 1)], jnp.int32
+    )  # (9, 2)
+    cc = cq[:, None, :2] + offs[None]  # (Q, 9, 2)
+    lo = (cc[..., 0] * dims[1] + cc[..., 1]) * dims[2] + (cq[:, None, 2] - 1)
 
-    start = jnp.searchsorted(ids_sorted, target)  # (Q, 27)
-    slots = start[..., None] + jnp.arange(bucket_cap, dtype=jnp.int32)  # (Q, 27, B)
-    slots_flat = jnp.minimum(slots, n - 1).reshape(q_pts.shape[0], -1)  # (Q, 27B)
-    in_bucket = (
-        (jnp.take(ids_sorted, slots_flat) == jnp.repeat(target, bucket_cap, axis=-1))
-        & (slots.reshape(q_pts.shape[0], -1) < n)
-        & jnp.take(valid_sorted, slots_flat)
+    start = jnp.searchsorted(ids_sorted, lo)  # (Q, 9)
+    win = 3 * bucket_cap
+    # (W=9*win, Q) slot layout: indices and gather outputs keep the long
+    # axis off the minor dim only for the index table; outputs ride lanes.
+    slots_raw = (
+        start.T[:, None, :] + jnp.arange(win, dtype=jnp.int32)[None, :, None]
+    ).reshape(9 * win, q)  # (W, Q)
+    # Slots past the array end clamp for the gather but MUST be masked out:
+    # the clamped last slot would otherwise pass the id-window check once
+    # per overflowing position (duplicate candidates eat top-k slots).
+    slots = jnp.minimum(slots_raw, n - 1)
+    ids_c = jnp.take(ids_sorted, slots)  # (W, Q)
+    lo_w = jnp.repeat(lo.T, win, axis=0)  # (W, Q)
+    in_window = (
+        (ids_c >= lo_w)
+        & (ids_c <= lo_w + 2)
+        & (slots_raw < n)
+        & jnp.take(valid_sorted, slots)
     )
 
-    # (3, Q, 27B) candidate coordinates via a lane-axis gather.
-    cand = jnp.take(pts_sorted_T, slots_flat, axis=1)
-    diff = cand - q_pts.T[:, :, None]
-    d2 = jnp.sum(diff * diff, axis=0)  # (Q, 27B)
+    cand = jnp.take(pts_sorted_T, slots, axis=1)  # (3, W, Q)
+    diff = cand - q_pts.T[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=0)  # (W, Q)
     big = jnp.asarray(jnp.inf, d2.dtype)
-    d2 = jnp.where(in_bucket & (d2 <= r2) & q_valid[:, None], d2, big)
+    d2 = jnp.where(in_window & (d2 <= r2) & q_valid[None, :], d2, big)
 
     if k == 0:  # counts-only mode
-        return jnp.sum(~jnp.isinf(d2), axis=1, dtype=jnp.int32)
+        return jnp.sum(~jnp.isinf(d2), axis=0, dtype=jnp.int32)
 
-    neg_top, arg = jax.lax.top_k(-d2, k)
+    neg_top, arg = jax.lax.top_k(-d2.T, k)  # (Q, k); one (W, Q) relayout
     best_d2 = -neg_top
-    best_slot = jnp.take_along_axis(slots_flat, arg, axis=1)
+    best_slot = jnp.take_along_axis(slots.T, arg, axis=1)
     idx = jnp.take(order, best_slot)
     missing = jnp.isinf(best_d2)
     idx = jnp.where(missing, -1, idx)

@@ -608,7 +608,10 @@ def train(
         loss, grads = jax.value_and_grad(train_loss_fn)(params, data)
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, gmask)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return loss, optax.apply_updates(params, updates), opt_state
+        # Grads ride back out for observability (tiny pytrees; reference
+        # logs per-weight grads + pose-delta grad histograms,
+        # train.py:271-297).
+        return loss, grads, optax.apply_updates(params, updates), opt_state
 
     # Optional TensorBoard scalars (reference: train.py:163, 271-297); the
     # CSV history below is the always-on channel.
@@ -625,10 +628,21 @@ def train(
     best_cfg = None
     history = []
 
+    import time
+
+    profiling = False
+
     for it in range(cfg.n_opt_iters):
         callbacks.iteration_started(it)
 
-        train_loss, new_params, opt_state = step(params, opt_state, train_data)
+        # Optional device trace of a few warmed-up hot-loop steps
+        # (SURVEY §5: profiling is a first-class requirement here).
+        if cfg.profile_dir and it == 2 and not profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+
+        t_step = time.perf_counter()
+        train_loss, grads, new_params, opt_state = step(params, opt_state, train_data)
         callbacks.train_loss(it, params["model"], params.get("pose_deltas"), train_loss)
 
         if val_data is not None:
@@ -642,9 +656,13 @@ def train(
         else:
             val_loss = train_loss
 
-        train_loss = float(train_loss)
+        train_loss = float(train_loss)  # materialization = device sync
         val_loss = float(val_loss)
-        history.append((it, train_loss, val_loss))
+        step_ms = (time.perf_counter() - t_step) * 1e3
+        if cfg.profile_dir and profiling and it >= min(6, cfg.n_opt_iters - 1):
+            jax.profiler.stop_trace()
+            profiling = False
+        history.append((it, train_loss, val_loss, step_ms))
 
         saved = False
         if train_loss < min_train_loss and val_loss < min_val_loss:
@@ -672,12 +690,43 @@ def train(
             )
 
         if writer is not None:
+            # Scalar set mirrors the reference (train.py:271-287): losses,
+            # per-weight values + grads; plus per-step wall time.
             writer.add_scalar("%s/train" % cfg.loss, train_loss, it)
             writer.add_scalar("%s/val" % cfg.loss, val_loss, it)
-            w = getattr(params["model"], "w", None)
-            if w is not None:
-                for wi, wv in enumerate(np.asarray(w).ravel()):
-                    writer.add_scalar("model/w_%d" % wi, float(wv), it)
+            writer.add_scalar("time/step_ms", step_ms, it)
+            g_model = grads.get("model")
+            for field in ("w", "exponent", "p0"):
+                v = getattr(params["model"], field, None)
+                if v is None:
+                    continue
+                gv = np.asarray(getattr(g_model, field)).ravel() if g_model is not None else None
+                for wi, wv in enumerate(np.asarray(v).ravel()):
+                    writer.add_scalar("model/%s_%d" % (field, wi), float(wv), it)
+                    if gv is not None and wi < gv.size:
+                        writer.add_scalar(
+                            "model/%s_%d/grad" % (field, wi), float(gv[wi]), it
+                        )
+            # Pose-delta histograms per sequence per component + grads
+            # (reference: train.py:288-297).
+            deltas = params.get("pose_deltas")
+            g_deltas = grads.get("pose_deltas") if deltas is not None else None
+            if deltas is not None:
+                names = cfg.train_names or [str(i) for i in range(len(deltas))]
+                for i, d in enumerate(deltas):
+                    name = names[i] if i < len(names) else str(i)
+                    d = np.asarray(d)
+                    gd = np.asarray(g_deltas[i]) if g_deltas is not None else None
+                    for j, key in enumerate(["tx", "ty", "tz", "rx", "ry", "rz"]):
+                        writer.add_histogram(
+                            "pose_correction/train/%s/%s" % (name, key), d[:, j], it
+                        )
+                        if gd is not None:
+                            writer.add_histogram(
+                                "pose_correction/train/%s/%s/grad" % (name, key),
+                                gd[:, j],
+                                it,
+                            )
 
         params = new_params
 
@@ -687,8 +736,8 @@ def train(
 
     # CSV history (the flat-file observability channel).
     with open(os.path.join(cfg.log_dir, "train_history.csv"), "w") as f:
-        f.write("iter train_loss val_loss\n")
+        f.write("iter train_loss val_loss step_ms\n")
         for row in history:
-            f.write("%i %.9g %.9g\n" % row)
+            f.write("%i %.9g %.9g %.6g\n" % row)
 
     return best_cfg

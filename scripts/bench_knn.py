@@ -33,9 +33,9 @@ def main():
 
     rng = np.random.default_rng(0)
     for n in (131072, 524288, 1048576):
-        # ~Indoor-map density after grid filtering: bounded box scaled so the
-        # per-ball neighbor count stays ~25-30 regardless of N.
-        side = (n / 30.0) ** (1.0 / 3.0) * 0.25
+        # ~Indoor-map density after grid filtering: box scaled so the
+        # expected per-ball neighbor count is ~25 regardless of N.
+        side = (n * (4.0 / 3.0) * np.pi / 25.0) ** (1.0 / 3.0) * 0.25
         pts = rng.uniform(0, side, (n, 3)).astype(np.float32)
         r, k = 0.25, 48
         dev = jnp.asarray(pts)
