@@ -21,7 +21,14 @@ from typing import Optional
 import numpy as np
 from numpy.lib.recfunctions import unstructured_to_structured
 
-__all__ = ["Dataset", "dataset_names", "data_dir", "prefix"]
+__all__ = [
+    "Dataset",
+    "dataset_names",
+    "data_dir",
+    "prefix",
+    "dynamic_points_mask",
+    "remove_dynamic_objects",
+]
 
 prefix = "kitti360"
 data_dir = os.environ.get(
@@ -147,3 +154,76 @@ class Dataset:
 
     def __str__(self):
         return "%s/%s" % (prefix, self.name)
+
+    # --- dynamic-object tooling -----------------------------------------
+    def get_dynamic_points(self):
+        """Dynamic-object window clouds of this drive's semantic annotation
+        (reference: kitti360.py:266-278): world-frame points of moving
+        objects, one cloud per frame-id window.
+
+        :return: (list of (Ni, 3) arrays, list of [start, end) frame ranges).
+        """
+        from numpy.lib.recfunctions import structured_to_unstructured as s2u
+
+        from ..utils.ply import read_ply_structured
+
+        pcd_path = os.path.join(
+            self.path, "data_3d_semantics", "train", self.drive, "dynamic"
+        )
+        dynamic_points = []
+        ids_ranges = []
+        for p in sorted(os.listdir(pcd_path)):
+            if not p.endswith(".ply"):
+                continue
+            data = read_ply_structured(os.path.join(pcd_path, p))
+            dynamic_points.append(
+                s2u(data[["x", "y", "z"]], dtype=np.float64)
+            )
+            ids_ranges.append([int(i) for i in p[:-4].split("_")])
+        return dynamic_points, ids_ranges
+
+
+def dynamic_points_mask(points_map, dynamic_points, dist_th: float = 0.2):
+    """True for map-frame points within ``dist_th`` of any dynamic point
+    (reference: scripts/generate_scans_wo_dynamic_objects_kitti360: 1-NN
+    query against the dynamic cloud)."""
+    from scipy.spatial import cKDTree
+
+    points_map = np.asarray(points_map, np.float64)
+    if dynamic_points is None or len(dynamic_points) == 0:
+        return np.zeros(len(points_map), bool)
+    tree = cKDTree(np.asarray(dynamic_points, np.float64))
+    d, _ = tree.query(points_map, k=1, workers=-1)
+    return d <= dist_th
+
+
+def remove_dynamic_objects(ds: "Dataset", out_dir: Optional[str] = None,
+                           dist_th: float = 0.2) -> str:
+    """Write dynamic-object-filtered scans into the ``data_3d_filtered``
+    layout the loader's ``filtered_scans=True`` mode reads
+    (reference: scripts/generate_scans_wo_dynamic_objects_kitti360).
+
+    Scans are matched against the semantic dynamic windows covering their
+    frame id, in the world frame; points within ``dist_th`` of a dynamic
+    point are dropped. Existing outputs are skipped (resume semantics).
+
+    :return: the output scan directory.
+    """
+    folder = out_dir or os.path.join(
+        ds.path, "data_3d_filtered", ds.drive, "velodyne_points", "data"
+    )
+    os.makedirs(folder, exist_ok=True)
+    dynamic_points_list, ids_ranges = ds.get_dynamic_points()
+    for i in ds.ids:
+        out_path = os.path.join(folder, "%010d.bin" % int(i))
+        if os.path.exists(out_path):
+            continue
+        raw = np.fromfile(ds.local_cloud_path(i), dtype=np.float32).reshape(-1, 4)
+        pose = ds.cloud_pose(i)
+        pts_map = raw[:, :3] @ pose[:3, :3].T + pose[:3, 3]
+        drop = np.zeros(len(raw), bool)
+        for dyn, (lo, hi) in zip(dynamic_points_list, ids_ranges):
+            if lo <= int(i) < hi and len(dyn):
+                drop |= dynamic_points_mask(pts_map, dyn, dist_th)
+        raw[~drop].tofile(out_path)
+    return folder

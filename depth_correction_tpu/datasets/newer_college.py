@@ -160,6 +160,41 @@ class Dataset:
     def cloud_pose(self, id):
         return self.poses[id]
 
+    def ground_truth_cloud_path(self) -> str:
+        root = os.path.dirname(self.path)
+        return os.path.join(
+            root,
+            "03_new_college_prior_map",
+            "new-college-29-01-2020-1cm-resolution-libpmfiltered.ply",
+        )
+
+    def get_ground_truth_cloud(self, voxel_size: float = 0.1) -> np.ndarray:
+        """GT prior-map points expressed in this sequence's first-pose frame
+        (reference: newer_college.py:216-229, Open3D replaced by own PLY IO
+        + the voxel-grid filter).
+
+        :return: (N, 3) float64 points.
+        """
+        from numpy.lib.recfunctions import structured_to_unstructured as s2u
+
+        from ..ops.filters import filter_grid_indices
+        from ..utils.ply import read_ply_structured
+
+        data = read_ply_structured(self.ground_truth_cloud_path())
+        cloud = s2u(data[["x", "y", "z"]], dtype=np.float64)
+        # First pose in the raw (cam->lidar-calibrated, non-zero-origin)
+        # frame, like the reference (newer_college.py:220-223).
+        _, poses = read_poses(self.poses_path)
+        calib = read_calibration()
+        if calib is not None:
+            poses = poses @ calib["T_lidar2cam"]
+        pose0_inv = np.linalg.inv(poses[0])
+        cloud = cloud @ pose0_inv[:3, :3].T + pose0_inv[:3, 3]
+        if voxel_size:
+            keep = filter_grid_indices(cloud, voxel_size, keep="first")
+            cloud = cloud[np.asarray(keep)]
+        return cloud
+
     def __len__(self):
         return len(self.ids)
 

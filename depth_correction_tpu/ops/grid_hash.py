@@ -35,7 +35,10 @@ import numpy as np
 
 __all__ = ["grid_radius_neighbors", "grid_neighbor_counts", "grid_occupancy"]
 
-_QUERY_CHUNK = 8192
+_QUERY_CHUNK = 32768
+# Dense per-cell bucket-start table (one gather instead of a binary search
+# per neighbor column) up to this many cells; 2^23 entries = 32 MB HBM.
+_DENSE_STARTS_MAX_CELLS = 1 << 23
 
 
 @partial(jax.jit, static_argnames=("cell_size",))
@@ -87,6 +90,7 @@ def _grid_query_chunk(
     k: int,
     bucket_cap: int,
     cell_size: float,
+    cell_starts=None,  # (num_cells + 1,) dense bucket starts, or None
 ):
     n = ids_sorted.shape[0]
     q = q_pts.shape[0]
@@ -104,7 +108,12 @@ def _grid_query_chunk(
     cc = cq[:, None, :2] + offs[None]  # (Q, 9, 2)
     lo = (cc[..., 0] * dims[1] + cc[..., 1]) * dims[2] + (cq[:, None, 2] - 1)
 
-    start = jnp.searchsorted(ids_sorted, lo)  # (Q, 9)
+    if cell_starts is not None:
+        # Dense start table: one clamped gather per column.
+        n_cells = cell_starts.shape[0] - 1
+        start = jnp.take(cell_starts, jnp.clip(lo, 0, n_cells))  # (Q, 9)
+    else:
+        start = jnp.searchsorted(ids_sorted, lo)  # (Q, 9)
     win = 3 * bucket_cap
     # (W=9*win, Q) slot layout: indices and gather outputs keep the long
     # axis off the minor dim only for the index table; outputs ride lanes.
@@ -220,12 +229,25 @@ def _build_grid(points, valid_points, r, cell_size, bucket_cap):
 
     pts_sorted_T = jnp.take(points.T, order, axis=1)
     valid_sorted = jnp.take(valid_points, order)
-    grid = (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell)
+
+    n_cells = int(dims_np[0]) * int(dims_np[1]) * int(dims_np[2])
+    cell_starts = None
+    if n_cells <= _DENSE_STARTS_MAX_CELLS:
+        # Dense bucket-start table: cell_starts[c] = first sorted slot with
+        # id >= c (one build-time vectorized search replaces a per-query
+        # binary search per neighbor column).
+        cell_starts = jnp.searchsorted(
+            ids_sorted, jnp.arange(n_cells + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+
+    grid = (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell,
+            cell_starts)
     return grid, int(bucket_cap)
 
 
 def _run_chunks(grid, bucket_cap, points, query, valid_query, r, k):
-    pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell = grid
+    (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell,
+     cell_starts) = grid
     q = points if query is None else jnp.asarray(query)
     if valid_query is None:
         valid_query = jnp.ones(q.shape[0], bool)
@@ -249,6 +271,7 @@ def _run_chunks(grid, bucket_cap, points, query, valid_query, r, k):
             k,
             bucket_cap,
             cell,
+            cell_starts,
         )
         for i in range(0, q.shape[0], _QUERY_CHUNK)
     ]
