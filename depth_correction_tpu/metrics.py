@@ -23,6 +23,8 @@ __all__ = [
     "chamfer_distance",
     "mapping_accuracy",
     "localization_errors",
+    "static_intervals",
+    "tracker_position_error",
 ]
 
 
@@ -93,3 +95,42 @@ def localization_errors(
     rel_angle = rotation_angle(rel)
     rel_offset = translation_norm(rel)
     return abs_angle, abs_offset, rel_angle, rel_offset
+
+
+def static_intervals(times, positions, min_duration: float = 1.0,
+                     max_motion: float = 0.01):
+    """Stationary intervals of a tracked-position time series.
+
+    Host-side equivalent of the reference's rosbag static-scan extraction
+    (reference: scripts/localization_accuracy — it detects when the
+    total-station crystal didn't move and keeps scans from those periods):
+    an interval is static when every position stays within ``max_motion`` of
+    the interval's first sample and it lasts at least ``min_duration``.
+
+    :param times: (N,) seconds, ascending.
+    :param positions: (N, 3) tracked positions.
+    :return: list of (start, end) index pairs, end exclusive.
+    """
+    import numpy as np
+
+    times = np.asarray(times, np.float64)
+    positions = np.asarray(positions, np.float64)
+    out = []
+    i = 0
+    n = len(times)
+    while i < n:
+        j = i + 1
+        while j < n and np.linalg.norm(positions[j] - positions[i]) <= max_motion:
+            j += 1
+        if j > i + 1 and times[j - 1] - times[i] >= min_duration:
+            out.append((i, j))
+        i = j if j > i + 1 else i + 1
+    return out
+
+
+def tracker_position_error(T_est, xyz_tracker):
+    """Mean position error of estimated poses against tracker positions
+    (reference: scripts/model_poses_learning:138-140)."""
+    T_est = jnp.asarray(T_est)
+    xyz = jnp.asarray(xyz_tracker, T_est.dtype)
+    return jnp.linalg.norm(T_est[:, :3, 3] - xyz, axis=1).mean()
