@@ -141,9 +141,17 @@ class Config(Configurable):
         self.nn_scale = None
         # Static padding: max neighbors kept per point (fixed K for TPU
         # shapes). None = derive from data at neighborhood establishment.
+        # Static width of the radius-neighbor matrix. None = exact (sized to
+        # the global max in-degree like the reference's ragged
+        # query_ball_point, nearest_neighbors.py:69-73); an int K caps it.
+        # PARITY NOTE: capping truncates dense neighborhoods one-sidedly —
+        # with nn_symmetrize the trimmed sets deviate from the reference
+        # whenever any neighborhood exceeds K. Leave None for parity runs;
+        # set (e.g. 32) for speed/memory at scale.
         self.nn_max_neighbors = None
         # Neighbor-search backend for (one-time) neighborhood establishment:
-        # None = on-device tiled search; 'scipy' = host cKDTree (the
+        # None = on-device (grid-hash above 64k points, tiled scan below);
+        # 'grid' forces the grid-hash engine; 'scipy' = host cKDTree (the
         # reference's index); 'native' = bundled C++ KD-tree.
         self.nn_backend = None
         # Mutual-pair trimming when neighbor lists are truncated (kNN or

@@ -109,29 +109,44 @@ def _grid_query_chunk(
     lo = (cc[..., 0] * dims[1] + cc[..., 1]) * dims[2] + (cq[:, None, 2] - 1)
 
     if cell_starts is not None:
-        # Dense start table: one clamped gather per column.
+        # Dense start table: the EXACT window [starts[lo], starts[lo+3]) per
+        # column — two clamped (Q, 9) gathers replace both the binary search
+        # and the (W, Q) id-membership gathers. Invalid points carry a
+        # sentinel id past n_cells, so they sit beyond starts[n_cells] and
+        # never land in a window: no validity gather either.
         n_cells = cell_starts.shape[0] - 1
         start = jnp.take(cell_starts, jnp.clip(lo, 0, n_cells))  # (Q, 9)
+        end = jnp.take(cell_starts, jnp.clip(lo + 3, 0, n_cells))
+        length = end - start
+        win = bucket_cap  # max 3-cell run (sized in _build_grid)
+        slots_raw = (
+            start.T[:, None, :] + jnp.arange(win, dtype=jnp.int32)[None, :, None]
+        ).reshape(9 * win, q)  # (W, Q)
+        slots = jnp.minimum(slots_raw, n - 1)
+        in_window = (
+            jnp.arange(win, dtype=jnp.int32)[None, :, None]
+            < length.T[:, None, :]
+        ).reshape(9 * win, q)
     else:
         start = jnp.searchsorted(ids_sorted, lo)  # (Q, 9)
-    win = 3 * bucket_cap
-    # (W=9*win, Q) slot layout: indices and gather outputs keep the long
-    # axis off the minor dim only for the index table; outputs ride lanes.
-    slots_raw = (
-        start.T[:, None, :] + jnp.arange(win, dtype=jnp.int32)[None, :, None]
-    ).reshape(9 * win, q)  # (W, Q)
-    # Slots past the array end clamp for the gather but MUST be masked out:
-    # the clamped last slot would otherwise pass the id-window check once
-    # per overflowing position (duplicate candidates eat top-k slots).
-    slots = jnp.minimum(slots_raw, n - 1)
-    ids_c = jnp.take(ids_sorted, slots)  # (W, Q)
-    lo_w = jnp.repeat(lo.T, win, axis=0)  # (W, Q)
-    in_window = (
-        (ids_c >= lo_w)
-        & (ids_c <= lo_w + 2)
-        & (slots_raw < n)
-        & jnp.take(valid_sorted, slots)
-    )
+        win = 3 * bucket_cap
+        # (W=9*win, Q) slot layout: indices and gather outputs keep the long
+        # axis off the minor dim only for the index table; outputs ride lanes.
+        slots_raw = (
+            start.T[:, None, :] + jnp.arange(win, dtype=jnp.int32)[None, :, None]
+        ).reshape(9 * win, q)  # (W, Q)
+        # Slots past the array end clamp for the gather but MUST be masked
+        # out: the clamped last slot would otherwise pass the id-window
+        # check once per overflowing position (duplicates eat top-k slots).
+        slots = jnp.minimum(slots_raw, n - 1)
+        ids_c = jnp.take(ids_sorted, slots)  # (W, Q)
+        lo_w = jnp.repeat(lo.T, win, axis=0)  # (W, Q)
+        in_window = (
+            (ids_c >= lo_w)
+            & (ids_c <= lo_w + 2)
+            & (slots_raw < n)
+            & jnp.take(valid_sorted, slots)
+        )
 
     cand = jnp.take(pts_sorted_T, slots, axis=1)  # (3, W, Q)
     diff = cand - q_pts.T[:, None, :]
@@ -220,13 +235,6 @@ def _build_grid(points, valid_points, r, cell_size, bucket_cap):
     order = jnp.argsort(ids).astype(jnp.int32)
     ids_sorted = jnp.take(ids, order)
 
-    if bucket_cap is None:
-        # Occupancy of real cells only (the invalid-id run may be longer):
-        # invalid slots get distinct negative ids, i.e. runs of length 1.
-        occ = int(grid_occupancy(jnp.where(ids_sorted >= last, -jnp.arange(
-            ids_sorted.shape[0], dtype=jnp.int32) - 1, ids_sorted)))
-        bucket_cap = max(int(-(-occ // 8) * 8), 8)
-
     pts_sorted_T = jnp.take(points.T, order, axis=1)
     valid_sorted = jnp.take(valid_points, order)
 
@@ -234,15 +242,31 @@ def _build_grid(points, valid_points, r, cell_size, bucket_cap):
     cell_starts = None
     if n_cells <= _DENSE_STARTS_MAX_CELLS:
         # Dense bucket-start table: cell_starts[c] = first sorted slot with
-        # id >= c (one build-time vectorized search replaces a per-query
-        # binary search per neighbor column).
+        # id >= c. Gives exact per-column windows (no binary search, no
+        # membership gathers) and the true max 3-cell-run width.
         cell_starts = jnp.searchsorted(
             ids_sorted, jnp.arange(n_cells + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
+        if n_cells >= 3:
+            win = int(jnp.max(cell_starts[3:] - cell_starts[:-3]))
+        else:
+            win = int(cell_starts[-1] - cell_starts[0])
+        if bucket_cap is not None:
+            win = min(win, 3 * int(bucket_cap))
+        # The chunk kernel uses this directly as the window width.
+        width = max(int(-(-max(win, 1) // 8) * 8), 8)
+    elif bucket_cap is None:
+        # Occupancy of real cells only (the invalid-id run may be longer):
+        # invalid slots get distinct negative ids, i.e. runs of length 1.
+        occ = int(grid_occupancy(jnp.where(ids_sorted >= last, -jnp.arange(
+            ids_sorted.shape[0], dtype=jnp.int32) - 1, ids_sorted)))
+        width = max(int(-(-occ // 8) * 8), 8)
+    else:
+        width = int(bucket_cap)
 
     grid = (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell,
             cell_starts)
-    return grid, int(bucket_cap)
+    return grid, width
 
 
 def _run_chunks(grid, bucket_cap, points, query, valid_query, r, k):

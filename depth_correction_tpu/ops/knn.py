@@ -237,16 +237,29 @@ def suggest_k_max(
     valid_points=None,
     cap: Optional[int] = None,
     multiple: int = 8,
+    quantile: float = 1.0,
 ) -> int:
     """Host-side helper: smallest K (rounded up to ``multiple``) that holds
     every radius neighborhood, optionally capped.
 
     The result is a static Python int suitable for shaping jitted
-    neighborhoods. Capping trades exactness for memory; the reference keeps
-    all neighbors, so leave ``cap=None`` for parity runs.
+    neighborhoods.
+
+    Default policy: exact (``quantile=1.0``, ``cap=None``) — every
+    neighborhood fits, matching the reference's ragged ``query_ball_point``
+    semantics (nearest_neighbors.py:69-73). For memory-bound runs where one
+    dense blob would inflate every row's gather width, either pass ``cap``
+    or size by a high ``quantile`` (e.g. 0.999) of the count distribution;
+    both truncate the over-K neighborhoods (a documented parity deviation —
+    see ``Config.nn_max_neighbors``).
     """
     counts = np.asarray(neighbor_counts(points, query, r, valid_points))
-    k = int(counts.max()) if counts.size else 1
+    if counts.size == 0:
+        k = 1
+    elif quantile >= 1.0:
+        k = int(counts.max())
+    else:
+        k = int(np.quantile(counts, quantile))
     k = max(k, 1)
     k = int(-(-k // multiple) * multiple)
     if cap is not None:
