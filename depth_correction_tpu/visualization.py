@@ -11,7 +11,12 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["map_colors", "visualize_incidence_angles", "plot_model_curve"]
+__all__ = [
+    "map_colors",
+    "visualize_incidence_angles",
+    "plot_model_curve",
+    "plot_cloud_poses",
+]
 
 
 def map_colors(values, colormap=None, min_value=None, max_value=None):
@@ -85,3 +90,68 @@ def plot_model_curve(model, max_angle_deg: float = 89.0, depth: float = 1.0,
     ax.set_ylabel("Depth [m]")
     ax.legend()
     return ax
+
+
+def plot_cloud_poses(clouds, poses=None, color_by: Optional[str] = None,
+                     max_points: int = 50_000, path: Optional[str] = None,
+                     axis_len: float = 0.5, show: bool = False):
+    """3-D viewer of (global) clouds + sensor pose frames.
+
+    Matplotlib substitute for the reference's Open3D dataset viewer
+    (reference: visualization.py:51-74): scatter the merged cloud (random
+    subsample above ``max_points``), draw RGB axis triads at each pose, and
+    either save a PNG (``path``) or show interactively.
+
+    :param clouds: (N, 3) array, Cloud, or a sequence of either.
+    :param poses: optional (S, 4, 4) pose array.
+    :param color_by: None = height (z); or a per-point value array.
+    """
+    import matplotlib
+
+    if path is not None:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    def to_pts(c):
+        if hasattr(c, "get_points"):
+            pts = np.asarray(c.get_points())
+            if getattr(c, "valid", None) is not None:
+                pts = pts[np.asarray(c.valid)]
+            return pts.reshape(-1, 3)
+        return np.asarray(c).reshape(-1, 3)
+
+    if hasattr(clouds, "get_points") or (
+        isinstance(clouds, np.ndarray) and clouds.ndim == 2
+    ):
+        clouds = [clouds]
+    pts = np.concatenate([to_pts(c) for c in clouds])
+    values = np.asarray(color_by).ravel() if color_by is not None else pts[:, 2]
+    if len(pts) > max_points:
+        sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
+        pts, values = pts[sel], values[sel]
+
+    fig = plt.figure(figsize=(10, 10))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=0.3,
+               c=map_colors(values), linewidths=0)
+    if poses is not None:
+        poses = np.asarray(poses).reshape(-1, 4, 4)
+        for T in poses:
+            o = T[:3, 3]
+            for a, col in enumerate(["r", "g", "b"]):
+                d = T[:3, a] * axis_len
+                ax.plot([o[0], o[0] + d[0]], [o[1], o[1] + d[1]],
+                        [o[2], o[2] + d[2]], col, linewidth=1.5)
+        ax.plot(poses[:, 0, 3], poses[:, 1, 3], poses[:, 2, 3],
+                "k--", linewidth=0.8)
+    # Equal aspect.
+    span = (pts.max(0) - pts.min(0)).max()
+    mid = (pts.max(0) + pts.min(0)) / 2
+    for setl, m in zip((ax.set_xlim, ax.set_ylim, ax.set_zlim), mid):
+        setl(m - span / 2, m + span / 2)
+    if path is not None:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    elif show:  # pragma: no cover - interactive
+        plt.show()
+    return fig
