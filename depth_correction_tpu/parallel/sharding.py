@@ -101,15 +101,35 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
 
     t_neighbors = []
     t_weights = []
+    off_nn = []
+    off_w = []
+    off_t = []
+    off_tw = []
     for i, nn in enumerate(data.neighbors):
         if not analytic_vjp or nn is None:
             t_neighbors.append(None)
             t_weights.append(None)
+        else:
+            m = int(np.prod(np.asarray(data.batches[i].cloud.depth).shape))
+            t_idx, t_w = _stacked_shard_transposes(nn, data.weights[i], m, n_dev)
+            t_neighbors.append(place(t_idx, point_sharded))
+            t_weights.append(place(t_w, point_sharded))
+        onn = data.off_neighbors[i] if data.off_neighbors else None
+        if onn is None:
+            off_nn.append(None)
+            off_w.append(None)
+            off_t.append(None)
+            off_tw.append(None)
             continue
+        # Dynamic loss_offset: shard the local neighborhoods like the global
+        # ones, with their own per-shard transposes for the analytic VJP.
         m = int(np.prod(np.asarray(data.batches[i].cloud.depth).shape))
-        t_idx, t_w = _stacked_shard_transposes(nn, data.weights[i], m, n_dev)
-        t_neighbors.append(place(t_idx, point_sharded))
-        t_weights.append(place(t_w, point_sharded))
+        ow = np.asarray(data.off_weights[i])
+        ot_idx, ot_w = _stacked_shard_transposes(onn, ow, m, n_dev)
+        off_nn.append(place(jnp.asarray(np.asarray(onn)), point_sharded))
+        off_w.append(place(jnp.asarray(ow), point_sharded))
+        off_t.append(place(ot_idx, point_sharded))
+        off_tw.append(place(ot_w, point_sharded))
 
     return dataclasses.replace(
         data,
@@ -128,6 +148,11 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
         t_neighbors=tuple(t_neighbors),
         t_slots=tuple(None for _ in data.neighbors),
         t_weights=tuple(t_weights),
+        off_neighbors=tuple(off_nn),
+        off_weights=tuple(off_w),
+        off_transpose=tuple(zip(off_t, off_tw)) if any(
+            t is not None for t in off_t
+        ) else tuple(None for _ in off_t),
         icp_idx=tuple(
             place(x, pair_point_sharded) if x is not None else None
             for x in data.icp_idx
@@ -158,18 +183,26 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         raise NotImplementedError(
             "sharded step supports the consistency losses and icp_loss"
         )
-    if cfg.loss_offset:
-        raise NotImplementedError(
-            "loss_offset is not wired into the sharded step yet; train "
-            "single-chip or disable loss_offset"
-        )
     kwargs = dict(cfg.loss_kwargs or {})
     normalization = bool(kwargs.get("normalization", False))
     use_trace = cfg.loss == "trace_loss"
     sqrt = bool(kwargs.get("sqrt", False))
+    inlier_ratio = float(kwargs.get("inlier_ratio", 1.0))
+    inlier_loss_mult = float(kwargs.get("inlier_loss_mult", 1.0))
+    inlier_max_loss = kwargs.get("inlier_max_loss")
     mode = cfg.pose_correction
 
-    def seq_loss(params, batch, neighbors, weights, mask, t_idx, t_w):
+    def _pointwise_of(feats):
+        if use_trace:
+            return feats["trace"]
+        eigvals = feats["eigvals"]
+        pw = eigvals[..., 0]
+        if normalization:
+            pw = pw / jnp.maximum(jnp.sum(eigvals, -1), 1e-6)
+        return pw
+
+    def seq_loss(params, batch, neighbors, weights, mask, t_idx, t_w,
+                 off_nn=None, off_w=None, off_t=None, off_tw=None):
         """Masked (sum, count) of the pointwise loss, psum-reduced."""
         model = params["model"]
         # loss_fn below narrows pose_deltas to a 1-tuple holding this
@@ -186,13 +219,39 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
             points, neighbors, weights, scale=cfg.nn_scale,
             compute_normals=False, t_idx=t_idx, t_w=t_w,
         )
-        if use_trace:
-            pointwise = feats["trace"]
-        else:
-            eigvals = feats["eigvals"]
-            pointwise = eigvals[..., 0]
-            if normalization:
-                pointwise = pointwise / jnp.maximum(jnp.sum(eigvals, -1), 1e-6)
+        pointwise = _pointwise_of(feats)
+
+        # Inlier-quantile trim over the GLOBAL distribution: the sharded
+        # pointwise losses all_gather (Mq floats — a few hundred KB over
+        # ICI), the threshold replicates (reference: loss.py:256-273).
+        if inlier_ratio < 1.0 or inlier_max_loss is not None:
+            from ..ops.reduce import masked_quantile
+
+            thr = inlier_max_loss
+            if inlier_ratio < 1.0:
+                pw_all = jax.lax.all_gather(pointwise, DATA_AXIS, tiled=True)
+                m_all = jax.lax.all_gather(mask, DATA_AXIS, tiled=True)
+                q = masked_quantile(pw_all, m_all, inlier_ratio)
+                if inlier_loss_mult != 1.0:
+                    q = inlier_loss_mult * q
+                thr = q if thr is None else jnp.minimum(
+                    jnp.asarray(thr, q.dtype), q
+                )
+            mask = mask & (pointwise <= thr)
+
+        # Dynamic loss offset under the current model (local neighborhoods
+        # sharded like the global ones; reference: preproc.py:67-77).
+        if off_nn is not None:
+            from ..preproc import flatten_batch
+
+            local = model.apply(batch.cloud) if model is not None else batch.cloud
+            lpts = flatten_batch(local).get_points()
+            off_feats = neighborhood_features(
+                lpts, off_nn, off_w, scale=cfg.nn_scale,
+                compute_normals=False, t_idx=off_t, t_w=off_tw,
+            )
+            pointwise = pointwise - _pointwise_of(off_feats)
+
         pointwise = jax.nn.relu(pointwise)
         if sqrt:
             pointwise = jnp.sqrt(pointwise)
@@ -200,23 +259,41 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         c = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
         return s, c
 
-    sharded_with_t = jax.shard_map(
-        seq_loss,
-        mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    sharded_no_t = jax.shard_map(
-        lambda params, batch, nn, w, mask: seq_loss(
-            params, batch, nn, w, mask, None, None
-        ),
-        mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    _cache = {}
+
+    def _sharded(with_t: bool, with_off: bool):
+        """shard_map wrapper per arg combination (specs must match arity)."""
+        key = (with_t, with_off)
+        if key in _cache:
+            return _cache[key]
+        specs = [P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)]
+        if with_t:
+            specs += [P(DATA_AXIS), P(DATA_AXIS)]
+        if with_off:
+            specs += [P(DATA_AXIS)] * 4
+
+        if with_t and with_off:
+            body = seq_loss
+        elif with_t:
+            def body(params, batch, nn, w, mask, t_idx, t_w):
+                return seq_loss(params, batch, nn, w, mask, t_idx, t_w)
+        elif with_off:
+            def body(params, batch, nn, w, mask, onn, ow, ot, otw):
+                return seq_loss(params, batch, nn, w, mask, None, None,
+                                onn, ow, ot, otw)
+        else:
+            def body(params, batch, nn, w, mask):
+                return seq_loss(params, batch, nn, w, mask, None, None)
+
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        _cache[key] = fn
+        return fn
 
     bound_data = data
 
@@ -237,15 +314,18 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
             t_w = data.t_weights[i] if data.t_weights else None
             # Sharded transposes are plain stacked arrays; a BucketedTranspose
             # here means the data was not prepared by shard_train_data.
-            if t_idx is not None and t_w is not None and not hasattr(t_idx, "idx"):
-                s, c = sharded_with_t(
-                    p, batch, data.neighbors[i], data.weights[i], data.masks[i],
-                    t_idx, t_w,
-                )
-            else:
-                s, c = sharded_no_t(
-                    p, batch, data.neighbors[i], data.weights[i], data.masks[i]
-                )
+            with_t = (
+                t_idx is not None and t_w is not None and not hasattr(t_idx, "idx")
+            )
+            onn = data.off_neighbors[i] if data.off_neighbors else None
+            ot = data.off_transpose[i] if data.off_transpose else None
+            with_off = onn is not None and isinstance(ot, tuple)
+            args = [p, batch, data.neighbors[i], data.weights[i], data.masks[i]]
+            if with_t:
+                args += [t_idx, t_w]
+            if with_off:
+                args += [onn, data.off_weights[i], ot[0], ot[1]]
+            s, c = _sharded(with_t, with_off)(*args)
             total = total + s
             count = count + c
         return total / jnp.maximum(count, 1)

@@ -77,6 +77,70 @@ def test_sharded_analytic_vjp_used_and_exact():
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5)
 
 
+def test_sharded_loss_offset_matches_single_device():
+    """Dynamic loss_offset rides the sharded step: value and grad match the
+    single-device path."""
+    import __graft_entry__ as ge
+
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+    from depth_correction_tpu.datasets import create_dataset
+
+    cfg, _, _ = ge._tiny_setup({"loss_offset": True})
+    ds = create_dataset(cfg.train_names[0], cfg)
+    data = prepare_sequences([ds], cfg)
+    assert data.off_neighbors[0] is not None
+    mesh = make_mesh(8)
+    sharded = shard_train_data(data, mesh)
+    assert isinstance(sharded.off_transpose[0], tuple)
+
+    def single(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_loss_fn(data, cfg)(p)
+
+    def multi(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_sharded_loss_fn(sharded, cfg, mesh)(p)
+
+    w0 = jnp.asarray([-0.0015])
+    v_ref, g_ref = jax.value_and_grad(single)(w0)
+    v_got, g_got = jax.jit(jax.value_and_grad(multi))(w0)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_sharded_inlier_trim_matches_single_device():
+    """Global inlier-quantile trim (all_gather + replicated threshold)."""
+    import __graft_entry__ as ge
+
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+    from depth_correction_tpu.datasets import create_dataset
+
+    cfg, _, _ = ge._tiny_setup(
+        {"loss_kwargs": {"sqrt": False, "normalization": True,
+                         "inlier_ratio": 0.8}}
+    )
+    ds = create_dataset(cfg.train_names[0], cfg)
+    data = prepare_sequences([ds], cfg)
+    mesh = make_mesh(8)
+    sharded = shard_train_data(data, mesh)
+
+    w0 = jnp.asarray([-0.001])
+    p = {"model": ScaledPolynomial(w=w0, exponent=jnp.asarray([4.0]))}
+    v_ref = float(make_loss_fn(data, cfg)(p))
+    v_got = float(jax.jit(make_sharded_loss_fn(sharded, cfg, mesh))(p))
+    np.testing.assert_allclose(v_got, v_ref, rtol=1e-6)
+
+
 def test_sharded_icp_loss_matches_single_device():
     """Point-sharded ICP objective: loss and gradient match the
     single-device batched path."""
