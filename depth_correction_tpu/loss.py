@@ -180,9 +180,12 @@ def trace_loss(
             inlier_ratio=inlier_ratio,
             inlier_loss_mult=inlier_loss_mult,
         )
-    assert cloud.cov is not None or cloud.trace is not None
-    if cloud.trace is not None:
-        pointwise = cloud.trace
+    # Duck-typed inputs (Cloud / FeatureRows / Planes): Planes carries cov
+    # but no precomputed trace field.
+    trace = getattr(cloud, "trace", None)
+    assert cloud.cov is not None or trace is not None
+    if trace is not None:
+        pointwise = trace
     else:
         pointwise = cloud.cov[..., 0, 0] + cloud.cov[..., 1, 1] + cloud.cov[..., 2, 2]
     return _consistency_loss(

@@ -99,6 +99,32 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
 
     import dataclasses
 
+    def place_planes(planes):
+        """Planes shard along the SUPPORT axis: member matrices split, the
+        small per-plane fields replicate. S pads to a device multiple."""
+        import dataclasses as dc
+
+        idx = np.asarray(planes.member_idx)
+        w = np.asarray(planes.member_weights)
+        pad = (-idx.shape[1]) % n_dev
+        if pad:
+            idx = np.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+            w = np.pad(w, ((0, 0), (0, pad)))
+        w = np.where(idx >= 0, w, 0.0)
+        return dc.replace(
+            planes,
+            member_idx=place(jnp.asarray(idx), pair_point_sharded),
+            member_weights=place(jnp.asarray(w), pair_point_sharded),
+            params=place(planes.params, replicated),
+            valid=place(planes.valid, replicated)
+            if planes.valid is not None
+            else None,
+            cov=None,
+            eigvals=None,
+            mask=None,
+            loss=None,
+        )
+
     t_neighbors = []
     t_weights = []
     off_nn = []
@@ -106,7 +132,7 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
     off_t = []
     off_tw = []
     for i, nn in enumerate(data.neighbors):
-        if not analytic_vjp or nn is None:
+        if not analytic_vjp or nn is None or hasattr(nn, "member_idx"):
             t_neighbors.append(None)
             t_weights.append(None)
         else:
@@ -135,7 +161,9 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
         data,
         batches=jax.tree_util.tree_map(lambda x: place(x, replicated), data.batches),
         neighbors=tuple(
-            place(n, point_sharded) if n is not None else None
+            place_planes(n)
+            if n is not None and hasattr(n, "member_idx")
+            else (place(n, point_sharded) if n is not None else None)
             for n in data.neighbors
         ),
         weights=tuple(
@@ -143,7 +171,14 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
             for w in data.weights
         ),
         masks=tuple(
-            place(m, point_sharded) if m is not None else None for m in data.masks
+            None
+            if m is None
+            else (
+                place(m, replicated)
+                if n is not None and hasattr(n, "member_idx")
+                else place(m, point_sharded)
+            )
+            for m, n in zip(data.masks, data.neighbors)
         ),
         t_neighbors=tuple(t_neighbors),
         t_slots=tuple(None for _ in data.neighbors),
@@ -183,6 +218,10 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         raise NotImplementedError(
             "sharded step supports the consistency losses and icp_loss"
         )
+    from ..config import NeighborhoodType
+
+    if cfg.nn_type == NeighborhoodType.plane:
+        return _make_sharded_plane_loss_fn(data, cfg, mesh)
     kwargs = dict(cfg.loss_kwargs or {})
     normalization = bool(kwargs.get("normalization", False))
     use_trace = cfg.loss == "trace_loss"
@@ -326,6 +365,99 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
             if with_off:
                 args += [onn, data.off_weights[i], ot[0], ot[1]]
             s, c = _sharded(with_t, with_off)(*args)
+            total = total + s
+            count = count + c
+        return total / jnp.maximum(count, 1)
+
+    return loss_fn
+
+
+def _make_sharded_plane_loss_fn(data, cfg: Config, mesh: Mesh):
+    """Plane-neighborhood mode sharded along the SUPPORT-point axis.
+
+    Planes are few (P <= max_neighborhoods) but their member sets are large;
+    each device holds an S/D slice of every plane's (P, S) member matrices,
+    computes partial weighted moments of the corrected, posed member points,
+    and three psums ((P,), (P, 3), (P, 3, 3) — tiny) assemble the exact
+    per-plane covariance (reference semantics: preproc.py:218-243 with the
+    plane normal supplying the incidence angles).
+    """
+    from ..ops.eigh3 import eigvals3
+    from ..ops.features import gather_neighbors
+
+    kwargs = dict(cfg.loss_kwargs or {})
+    normalization = bool(kwargs.get("normalization", False))
+    use_trace = cfg.loss == "trace_loss"
+    sqrt = bool(kwargs.get("sqrt", False))
+    mode = cfg.pose_correction
+
+    def seq_loss(params, batch, plane_params, member_idx, member_w, valid):
+        model = params["model"]
+        deltas = params.get("pose_deltas")
+        delta = deltas[0] if deltas is not None else None
+        gcloud = global_cloud(batch, model=None, pose_deltas=delta)
+
+        idx = member_idx  # (P, S/D)
+        vps = gather_neighbors(gcloud.vps, idx)
+        dirs = gather_neighbors(gcloud.dirs, idx)
+        depth = gather_neighbors(gcloud.depth, idx)
+        normals = plane_params[:, None, :3]
+        cos = jnp.sum(dirs * normals, axis=-1)
+        inc = jnp.arccos(jnp.clip(jnp.abs(cos), 0.0, 1.0))
+        if model is not None:
+            depth = model.correct_depth(depth, inc)
+        pts = vps + depth[..., None] * dirs  # (P, S/D, 3)
+
+        w = member_w.astype(pts.dtype)
+        sw = jax.lax.psum(jnp.sum(w, axis=-1), DATA_AXIS)  # (P,)
+        sx = jax.lax.psum(jnp.sum(w[..., None] * pts, axis=1), DATA_AXIS)
+        mean = sx / jnp.maximum(sw, 1e-12)[..., None]
+        c = pts - mean[:, None, :]
+        xx = jax.lax.psum(
+            jnp.einsum("psi,psj->pij", c * w[..., None], c), DATA_AXIS
+        )
+        cov = xx / jnp.maximum(sw - 1.0, 1e-6)[..., None, None]
+        eigvals = eigvals3(cov)
+        if use_trace:
+            pw = cov[..., 0, 0] + cov[..., 1, 1] + cov[..., 2, 2]
+        else:
+            pw = eigvals[..., 0]
+            if normalization:
+                pw = pw / jnp.maximum(jnp.sum(eigvals, -1), 1e-6)
+        pw = jax.nn.relu(pw)
+        if sqrt:
+            pw = jnp.sqrt(pw)
+        # Plane axis is replicated after the psums: plain masked sums.
+        return jnp.sum(jnp.where(valid, pw, 0.0)), jnp.sum(valid)
+
+    sharded = jax.shard_map(
+        seq_loss,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    bound_data = data
+
+    def loss_fn(params, data=None):
+        if data is None:
+            data = bound_data
+        total = 0.0
+        count = 0.0
+        deltas = params.get("pose_deltas")
+        for i, batch in enumerate(data.batches):
+            p = dict(params)
+            if deltas is not None and mode in (
+                PoseCorrection.sequence,
+                PoseCorrection.pose,
+            ):
+                p["pose_deltas"] = (deltas[i],)
+            planes = data.neighbors[i]
+            s, c = sharded(
+                p, batch, planes.params, planes.member_idx,
+                planes.member_weights, planes.valid,
+            )
             total = total + s
             count = count + c
         return total / jnp.maximum(count, 1)

@@ -179,6 +179,57 @@ def test_sharded_icp_loss_matches_single_device():
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5)
 
 
+def test_sharded_plane_mode_matches_single_device():
+    """Plane-neighborhood mode sharded along the support axis: value + grad
+    match the single-device path."""
+    import __graft_entry__ as ge
+
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+    from depth_correction_tpu.datasets import create_dataset
+
+    # trace_loss first: no eigenvalue cancellation, so the split support-axis
+    # reduction must agree tightly. min_eigval after: lambda_1 of a
+    # near-planar covariance amplifies summation-order noise by
+    # |cov|/lambda_1 (~1e7 here), so only a loose check is meaningful
+    # (verified: float64 grads agree to 1e-7).
+    for loss, v_rtol, g_rtol in (
+        ("trace_loss", 1e-6, 1e-5),
+        ("min_eigval_loss", 1e-3, 1e-3),
+    ):
+        cfg, _, _ = ge._tiny_setup(
+            {"nn_type": "plane", "loss": loss,
+             "loss_kwargs": {"sqrt": False, "normalization": False}}
+        )
+        cfg.max_neighborhoods = 4
+        ds = create_dataset(cfg.train_names[0], cfg)
+        data = prepare_sequences([ds], cfg)
+        assert hasattr(data.neighbors[0], "member_idx")
+        mesh = make_mesh(8)
+        sharded = shard_train_data(data, mesh)
+        assert sharded.neighbors[0].member_idx.shape[1] % 8 == 0
+
+        def single(w):
+            p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+            return make_loss_fn(data, cfg)(p)
+
+        def multi(w):
+            p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+            return make_sharded_loss_fn(sharded, cfg, mesh)(p)
+
+        w0 = jnp.asarray([-0.002])
+        v_ref, g_ref = jax.value_and_grad(single)(w0)
+        v_got, g_got = jax.jit(jax.value_and_grad(multi))(w0)
+        np.testing.assert_allclose(float(v_got), float(v_ref), rtol=v_rtol)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), rtol=g_rtol
+        )
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
