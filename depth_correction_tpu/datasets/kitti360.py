@@ -28,6 +28,7 @@ __all__ = [
     "prefix",
     "dynamic_points_mask",
     "remove_dynamic_objects",
+    "transfer_semantic_labels",
 ]
 
 prefix = "kitti360"
@@ -227,3 +228,62 @@ def remove_dynamic_objects(ds: "Dataset", out_dir: Optional[str] = None,
                 drop |= dynamic_points_mask(pts_map, dyn, dist_th)
         raw[~drop].tofile(out_path)
     return folder
+
+
+def transfer_semantic_labels(ds: "Dataset", out_dir: Optional[str] = None,
+                             dist_th: float = 0.05) -> str:
+    """Project the drive's static semantic annotation onto raw scans,
+    producing a SemanticKITTI-style (points + labels) dataset
+    (reference: kitti360.py:442-497 ``create_semantic_kitti360``).
+
+    For each scan, the world-frame points match 1-NN against the static
+    semantic window clouds; points within ``dist_th`` inherit the window
+    point's semantic id, the rest get label 0 (unlabeled). Scans save as
+    raw float32 [x y z i] ``.bin`` plus uint16 ``.label`` files.
+
+    :return: the output sequence directory.
+    """
+    from numpy.lib.recfunctions import structured_to_unstructured as s2u
+    from scipy.spatial import cKDTree
+
+    from ..utils.ply import read_ply_structured
+
+    out = out_dir or os.path.join(ds.path, "SemanticKITTI-360", ds.drive)
+    pts_folder = os.path.join(out, "velodyne")
+    lab_folder = os.path.join(out, "labels")
+    os.makedirs(pts_folder, exist_ok=True)
+    os.makedirs(lab_folder, exist_ok=True)
+
+    static_dir = os.path.join(
+        ds.path, "data_3d_semantics", "train", ds.drive, "static"
+    )
+    windows = []
+    for p in sorted(os.listdir(static_dir)):
+        if not p.endswith(".ply"):
+            continue
+        data = read_ply_structured(os.path.join(static_dir, p))
+        pts = s2u(data[["x", "y", "z"]], dtype=np.float64)
+        if "semantic" in (data.dtype.names or ()):
+            sem = np.asarray(data["semantic"], np.int64)
+        elif "instance" in (data.dtype.names or ()):
+            # KITTI-360 globalId = semanticId * 1000 + instanceId.
+            sem = np.asarray(data["instance"], np.int64) // 1000
+        else:
+            sem = np.zeros(len(pts), np.int64)
+        lo, hi = (int(v) for v in p[:-4].split("_"))
+        windows.append((cKDTree(pts), sem, lo, hi))
+
+    for i in ds.ids:
+        raw = np.fromfile(ds.local_cloud_path(i), dtype=np.float32).reshape(-1, 4)
+        pose = ds.cloud_pose(i)
+        world = raw[:, :3] @ pose[:3, :3].T + pose[:3, 3]
+        labels = np.zeros(len(raw), np.uint16)
+        for tree, sem, lo, hi in windows:
+            if not (lo <= int(i) < hi):
+                continue
+            d, idx = tree.query(world, k=1, workers=-1)
+            hit = d <= dist_th
+            labels[hit] = sem[idx[hit]].astype(np.uint16)
+        raw.tofile(os.path.join(pts_folder, "%010d.bin" % int(i)))
+        labels.tofile(os.path.join(lab_folder, "%010d.label" % int(i)))
+    return out

@@ -112,6 +112,47 @@ def test_kitti360_dynamic_object_removal(tmp_path):
     assert len(cloud) == 200
 
 
+def test_kitti360_semantic_label_transfer(tmp_path):
+    from depth_correction_tpu.datasets.kitti360 import (
+        Dataset,
+        transfer_semantic_labels,
+    )
+    from depth_correction_tpu.utils.ply import write_ply_points
+
+    root = _fake_kitti360(tmp_path)
+    ds = Dataset("00", path=root, filter_ego_pts_depth=None)
+
+    # Static semantic window: the static surface points labeled semantic 11,
+    # in the world frame of scan 0 (scan poses shift 0.1m/frame; dist_th
+    # must absorb that for this fixture — use the scan-0 world points).
+    rng = np.random.default_rng(0)
+    static_world = rng.uniform(3.0, 8.0, (3, 200, 3))  # same seed as fixture
+    drive = "2013_05_28_drive_0000_sync"
+    stat_dir = os.path.join(root, "data_3d_semantics", "train", drive, "static")
+    os.makedirs(stat_dir)
+    pts = np.concatenate([static_world[i] for i in range(3)]).astype(np.float32)
+    arr = np.zeros(
+        len(pts), np.dtype([("x", "f4"), ("y", "f4"), ("z", "f4"),
+                            ("semantic", "i4")])
+    )
+    arr["x"], arr["y"], arr["z"] = pts.T
+    arr["semantic"] = 11
+    write_ply_points(os.path.join(stat_dir, "%010d_%010d.ply" % (0, 3)), arr)
+
+    out = transfer_semantic_labels(ds, dist_th=0.05)
+    for k, i in enumerate(ds.ids):
+        labels = np.fromfile(
+            os.path.join(out, "labels", "%010d.label" % i), np.uint16
+        )
+        raw = np.fromfile(
+            os.path.join(out, "velodyne", "%010d.bin" % i), np.float32
+        ).reshape(-1, 4)
+        assert len(labels) == len(raw) == 210
+        # The 200 static points hit label 11; the 10 dynamic points stay 0.
+        assert (labels[:200] == 11).all()
+        assert (labels[200:] == 0).all()
+
+
 def test_newer_college_gt_prior_map(tmp_path):
     from depth_correction_tpu.datasets import newer_college as nc
     from depth_correction_tpu.utils.ply import write_ply_points
