@@ -56,6 +56,13 @@ class PoseCorrection(metaclass=ValueEnum):
 
 
 class SLAM(metaclass=ValueEnum):
+    # In-framework pipelines (slam_eval.py): scan-to-map ICP with a
+    # maintained voxel map (the norlab mapper's role) and plain
+    # scan-to-previous odometry.
+    icp_mapper = "icp_mapper"
+    icp_odometry = "icp_odometry"
+    # External C++ mapper, via the corrected-cloud export harness
+    # (slam_eval.export_corrected_clouds).
     norlab_icp_mapper = "norlab_icp_mapper"
 
 
@@ -116,7 +123,7 @@ class Config(Configurable):
 
         # Model / device.
         self.pose_provider = PoseProvider.ground_truth
-        self.slam = SLAM.norlab_icp_mapper
+        self.slam = SLAM.icp_mapper
         self.model_class = Model.ScaledPolynomial
         self.optimize_model = True
         self.model_args = []
@@ -224,7 +231,9 @@ class Config(Configurable):
         self.slam_poses_csv = None
         self.odom_cov = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
         self.eval_losses = list(Loss)
-        self.eval_slams = list(SLAM)
+        # In-framework pipelines only by default; the external
+        # norlab mapper needs the export harness + its own binary.
+        self.eval_slams = [SLAM.icp_mapper]
 
         self.log_filters = False
         self.show_results = False

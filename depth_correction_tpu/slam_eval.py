@@ -40,7 +40,8 @@ from .ops.se3 import (
 from .preproc import local_feature_cloud
 from .utils.io import append
 
-__all__ = ["icp_align", "slam_odometry", "eval_slam", "export_corrected_clouds"]
+__all__ = ["icp_align", "slam_odometry", "slam_mapper", "eval_slam",
+           "export_corrected_clouds"]
 
 
 def _icp_step(src_pts, src_valid, tgt_pts, tgt_normals, tgt_valid, inlier_ratio):
@@ -144,6 +145,75 @@ def slam_odometry(clouds: Sequence[Cloud], init_poses: np.ndarray,
     return np.stack(est)
 
 
+def slam_mapper(clouds: Sequence[Cloud], init_poses: np.ndarray,
+                n_iters: int = 8, inlier_ratio: float = 0.8,
+                map_voxel: float = 0.1, map_capacity: int = 1 << 19):
+    """Scan-to-MAP ICP with a maintained voxel map — the role of the
+    reference's external ``norlab_icp_mapper`` (launch/slam.launch:42-80),
+    in-framework: each scan registers against the accumulated downsampled
+    map (drift grows much slower than scan-to-previous odometry), then
+    merges into it (first-in-voxel points win, like a mapper's static map).
+
+    The map lives in a FIXED-capacity padded buffer so every registration
+    reuses one compiled XLA program.
+
+    :return: (S, 4, 4) estimated world poses.
+    """
+    from .ops.filters import filter_grid_indices
+
+    def merge(map_pts, map_normals, new_pts, new_normals):
+        pts = np.concatenate([map_pts, new_pts])
+        normals = np.concatenate([map_normals, new_normals])
+        keep = np.asarray(filter_grid_indices(pts, map_voxel, keep="first"))
+        pts, normals = pts[keep], normals[keep]
+        if len(pts) > map_capacity:
+            pts, normals = pts[:map_capacity], normals[:map_capacity]
+        return pts, normals
+
+    def as_target(map_pts, map_normals, dtype):
+        n = len(map_pts)
+        pad = map_capacity - n
+        pts = np.concatenate([map_pts, np.zeros((pad, 3))])
+        normals = np.concatenate([map_normals, np.zeros((pad, 3))])
+        valid = np.zeros(map_capacity, bool)
+        valid[:n] = True
+        return Cloud(
+            vps=jnp.zeros((map_capacity, 3), dtype),
+            dirs=jnp.asarray(normals, dtype),  # unused by ICP target
+            depth=jnp.zeros(map_capacity, dtype),
+            valid=jnp.asarray(valid),
+            points=jnp.asarray(pts, dtype),
+            normals=jnp.asarray(normals, dtype),
+        )
+
+    def scan_arrays(cloud, T):
+        posed = cloud.transform(jnp.asarray(T)).with_points()
+        keep = np.asarray(posed.valid)
+        return (
+            np.asarray(posed.points)[keep],
+            np.asarray(posed.normals)[keep],
+        )
+
+    dtype = clouds[0].depth.dtype
+    est = [np.asarray(init_poses[0])]
+    map_pts, map_normals = scan_arrays(clouds[0], est[0])
+    keep = np.asarray(filter_grid_indices(map_pts, map_voxel, keep="first"))
+    map_pts, map_normals = map_pts[keep], map_normals[keep]
+
+    for i in range(1, len(clouds)):
+        prior = est[-1] @ np.asarray(
+            delta_transform(jnp.asarray(init_poses[i - 1]),
+                            jnp.asarray(init_poses[i]))
+        )
+        target = as_target(map_pts, map_normals, dtype)
+        T, _ = icp_align(clouds[i], target, T0=prior, n_iters=n_iters,
+                         inlier_ratio=inlier_ratio)
+        est.append(np.asarray(T))
+        new_pts, new_normals = scan_arrays(clouds[i], est[-1])
+        map_pts, map_normals = merge(map_pts, map_normals, new_pts, new_normals)
+    return np.stack(est)
+
+
 def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
               apply_correction: bool = True):
     """Localization-drift evaluation (replaces the roslaunch pipeline,
@@ -172,7 +242,17 @@ def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
             gt_poses.append(np.asarray(pose))
         gt_poses = np.stack(gt_poses)
         odom = perturb_odometry(gt_poses, cfg.odom_cov, seed=cfg.random_seed)
-        est = slam_odometry(clouds, odom)
+        from .config import SLAM
+
+        if cfg.slam == SLAM.icp_odometry:
+            est = slam_odometry(clouds, odom)
+        elif cfg.slam == SLAM.icp_mapper:
+            est = slam_mapper(clouds, odom, map_voxel=cfg.grid_res or 0.1)
+        else:
+            raise NotImplementedError(
+                "cfg.slam=%s: run the external mapper over "
+                "export_corrected_clouds() output" % cfg.slam
+            )
 
         abs_a, abs_t, rel_a, rel_t = localization_errors(
             jnp.asarray(gt_poses), jnp.asarray(est)

@@ -46,6 +46,52 @@ def test_icp_align_recovers_known_offset():
     assert float(err) < 0.01
 
 
+def test_slam_mapper_reduces_odometry_drift():
+    """Scan-to-map ICP pulls a noisy odometry chain back toward ground
+    truth (the norlab-mapper role, in-framework)."""
+    from depth_correction_tpu.metrics import localization_errors
+    from depth_correction_tpu.slam_eval import slam_mapper
+
+    cfg = box_cfg()
+    ds = create_dataset("open_box/n_6_size_10_10_5_height_1_density_80", cfg,
+                        noisy=False)
+    clouds, poses = [], []
+    for scan, pose in ds:
+        clouds.append(local_feature_cloud(scan, cfg))
+        poses.append(np.asarray(pose))
+    poses = np.stack(poses)
+    odom = perturb_odometry(poses, [1e-5, 1e-5, 1e-5, 4e-3, 4e-3, 4e-3], seed=3)
+
+    _, odom_t, _, _ = localization_errors(jnp.asarray(poses), jnp.asarray(odom))
+    est = slam_mapper(clouds, odom, map_voxel=0.3, map_capacity=1 << 15)
+    _, est_t, _, _ = localization_errors(jnp.asarray(poses), jnp.asarray(est))
+    assert float(jnp.mean(est_t)) < 0.6 * float(jnp.mean(odom_t))
+
+
+def test_eval_slam_mapper_csvs(tmp_path):
+    """eval_slam with the default icp_mapper writes the reference-schema
+    CSVs (scripts/robot_data:186-204)."""
+    import os
+
+    from depth_correction_tpu.config import slam_eval_csv, slam_poses_csv
+    from depth_correction_tpu.slam_eval import eval_slam
+
+    cfg = box_cfg()
+    cfg.test_names = ["open_box/n_4_size_10_10_5_height_1_density_50"]
+    cfg.odom_cov = [1e-6, 1e-6, 1e-6, 1e-4, 1e-4, 1e-4]
+    cfg.log_dir = str(tmp_path)
+    cfg.slam_eval_csv = slam_eval_csv(cfg.log_dir, cfg.slam)
+    cfg.slam_poses_csv = slam_poses_csv(cfg.log_dir, "", cfg.slam)
+    results = eval_slam(cfg, apply_correction=False)
+    assert len(results) == 1
+    stats = next(iter(results.values()))
+    assert all(np.isfinite(s) for s in stats)
+    rows = open(cfg.slam_eval_csv).read().strip().splitlines()
+    assert len(rows) == 1 and len(rows[0].split()) == 5
+    pose_rows = open(cfg.slam_poses_csv).read().strip().splitlines()
+    assert len(pose_rows) == 4 and len(pose_rows[0].split()) == 16
+
+
 def test_perturb_odometry_statistics():
     rng = np.random.default_rng(0)
     poses = np.tile(np.eye(4), (20, 1, 1))
