@@ -241,3 +241,158 @@ def test_nearest_neighbors_parity(ref):
         a = set(ref_ind[i][ref_ind[i] >= 0].tolist())
         b = set(ours_ind[i][ours_ind[i] >= 0].tolist())
         assert a == b, f"row {i}: {sorted(a ^ b)}"
+
+
+def _two_scan_fixture(seed=5, n=500):
+    """Two overlapping noisy-plane scans with analytic unit normals."""
+    rng = np.random.default_rng(seed)
+    def scan(shift):
+        pts = np.stack(
+            [
+                rng.uniform(-2, 2, n) + shift,
+                rng.uniform(-2, 2, n),
+                rng.normal(0.0, 0.02, n),
+            ],
+            axis=-1,
+        )
+        normals = np.tile([0.0, 0.0, 1.0], (n, 1))
+        # Tilt a fraction of the normals so both directions matter.
+        normals[: n // 3] = [0.0, np.sin(0.2), np.cos(0.2)]
+        return pts, normals
+
+    return scan(0.0), scan(0.15)
+
+
+@pytest.mark.parametrize("ratio", [1.0, 0.5])
+def test_point_to_plane_parity(ref, ratio):
+    """Symmetric point-to-plane ICP distance vs reference loss.py:406-488
+    (cKDTree correspondences, inlier quantile, symmetric plane distance)."""
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.loss import point_to_plane_dist
+
+    (p1, n1), (p2, n2) = _two_scan_fixture()
+
+    def ref_cloud(p, nrm):
+        dc = ref.DepthCloud.from_points(torch.as_tensor(p, dtype=torch.float64))
+        dc.update_points()
+        dc.normals = torch.as_tensor(nrm, dtype=torch.float64)
+        return dc
+
+    ref_val = ref.loss.point_to_plane_dist(
+        [ref_cloud(p1, n1), ref_cloud(p2, n2)],
+        icp_inlier_ratio=ratio,
+        differentiable=False,
+    )
+
+    def our_cloud(p, nrm):
+        return Cloud.from_points(
+            jnp.asarray(p, jnp.float64)
+        ).replace(normals=jnp.asarray(nrm, jnp.float64)).with_points()
+
+    ours_val = point_to_plane_dist(
+        [our_cloud(p1, n1), our_cloud(p2, n2)], icp_inlier_ratio=ratio
+    )
+    # The reference computes correspondences/distances in float32
+    # (loss.py:436-437 casts to torch.float); boundary points at the
+    # quantile threshold can flip, so parity is to the north-star 1e-5 on
+    # the full-inlier case and slightly looser with trimming.
+    tol = 1e-5 if ratio == 1.0 else 5e-4
+    np.testing.assert_allclose(float(ours_val), float(ref_val), rtol=tol)
+
+
+@pytest.mark.parametrize("ratio", [1.0, 0.5])
+def test_point_to_point_parity(ref, ratio):
+    """Point-to-point ICP distance vs reference loss.py:491-565."""
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.loss import point_to_point_dist
+
+    (p1, n1), (p2, n2) = _two_scan_fixture(seed=7)
+
+    def ref_cloud(p):
+        dc = ref.DepthCloud.from_points(torch.as_tensor(p, dtype=torch.float64))
+        dc.update_points()
+        return dc
+
+    ref_val = ref.loss.point_to_point_dist(
+        [ref_cloud(p1), ref_cloud(p2)],
+        icp_inlier_ratio=ratio,
+        differentiable=False,
+    )
+
+    def our_cloud(p):
+        return Cloud.from_points(jnp.asarray(p, jnp.float64)).with_points()
+
+    ours_val = point_to_point_dist(
+        [our_cloud(p1), our_cloud(p2)], icp_inlier_ratio=ratio
+    )
+    tol = 1e-5 if ratio == 1.0 else 5e-4
+    np.testing.assert_allclose(float(ours_val), float(ref_val), rtol=tol)
+
+
+@pytest.mark.parametrize(
+    "cls,kwargs",
+    [
+        ("Polynomial", dict(w=[-0.01, 0.002], exponent=[2.0, 4.0])),
+        ("ScaledPolynomial", dict(w=[-0.01], exponent=[4.0])),
+        ("InvCos", dict(p0=0.02)),
+        ("ScaledInvCos", dict(p0=0.002)),
+        ("Linear", dict(w0=1.01, w1=-0.02, b=0.005)),
+    ],
+)
+def test_model_parity(ref, cls, kwargs):
+    """Model algebra vs the reference model classes (model.py:113-349):
+    corrected depth agrees on a (depth, angle) grid; inverse() inverts."""
+    import importlib
+
+    import depth_correction.model as ref_model
+
+    import depth_correction_tpu.models as our_models
+
+    depth = np.linspace(1.0, 20.0, 40)
+    angles = np.linspace(0.0, 1.4, 40)
+
+    # Scalar params as float64 tensors: torch.as_tensor(1.01) would make
+    # float32 parameters and shift results ~1e-8.
+    rm = getattr(ref_model, cls)(
+        **{
+            k: list(v)
+            if isinstance(v, list)
+            else torch.as_tensor(v, dtype=torch.float64)
+            for k, v in kwargs.items()
+        }
+    )
+    dc = ref.DepthCloud(
+        vps=torch.zeros(40, 3, dtype=torch.float64),
+        dirs=torch.ones(40, 3, dtype=torch.float64)
+        / torch.sqrt(torch.tensor(3.0, dtype=torch.float64)),
+        depth=torch.as_tensor(depth[:, None], dtype=torch.float64),
+    )
+    dc.inc_angles = torch.as_tensor(angles[:, None], dtype=torch.float64)
+    ref_out = rm(dc).depth.detach().numpy().ravel()
+
+    om = getattr(our_models, cls)(
+        **{
+            k: jnp.asarray(v, jnp.float64)
+            if isinstance(v, list)
+            else jnp.asarray(v, jnp.float64)
+            for k, v in kwargs.items()
+        }
+    )
+    our_out = np.asarray(
+        om.correct_depth(jnp.asarray(depth, jnp.float64),
+                         jnp.asarray(angles, jnp.float64))
+    )
+    # transcendentals (cos) differ in final ULPs across libraries
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-9)
+
+    # Inverse round-trip (reference model.py:263-274 uses inverse to
+    # synthesize bias; correct(inverse(d)) == d).
+    inv = np.asarray(
+        om.inverse_depth(jnp.asarray(depth, jnp.float64),
+                         jnp.asarray(angles, jnp.float64))
+    ) if hasattr(om, "inverse_depth") else None
+    if inv is not None:
+        back = np.asarray(
+            om.correct_depth(jnp.asarray(inv), jnp.asarray(angles, jnp.float64))
+        )
+        np.testing.assert_allclose(back, depth, rtol=1e-9)
