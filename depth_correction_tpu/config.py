@@ -245,6 +245,12 @@ class Config(Configurable):
         # Observability: write a jax.profiler trace of a few hot-loop steps
         # (open with TensorBoard / Perfetto); None disables.
         self.profile_dir = None
+        # Fault tolerance: checkpoint the FULL train state (params, optimizer
+        # state, iteration, best-selection bookkeeping) every N iterations
+        # (orbax; 0 disables) and auto-resume from the latest checkpoint in
+        # log_dir. The reference has no single-run resume (SURVEY §5).
+        self.checkpoint_period = 0
+        self.resume = True
 
         self.from_dict(kwargs)
 

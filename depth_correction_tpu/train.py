@@ -627,12 +627,51 @@ def train(
     min_val_loss = np.inf
     best_cfg = None
     history = []
+    it0 = 0
+
+    # Fault tolerance: restore the FULL train state from the latest orbax
+    # checkpoint in log_dir and continue the exact trajectory (params,
+    # optimizer state, best-selection bookkeeping; SURVEY §5 — the
+    # reference has no single-run resume).
+    ckpt_dir = os.path.join(os.path.abspath(cfg.log_dir), "train_state")
+    ckptr = None
+    if cfg.checkpoint_period:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        if cfg.resume and os.path.isdir(ckpt_dir):
+            steps = sorted(
+                int(d) for d in os.listdir(ckpt_dir) if d.isdigit()
+            )
+            if steps:
+                template = {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "val_params": val_params,
+                    "val_opt_state": val_opt_state,
+                    "it": 0,
+                    "min_train_loss": 0.0,
+                    "min_val_loss": 0.0,
+                    "history": np.zeros((steps[-1] + 1, 4)),
+                }
+                restored = ckptr.restore(
+                    os.path.join(ckpt_dir, str(steps[-1])), template
+                )
+                params = restored["params"]
+                opt_state = restored["opt_state"]
+                val_params = restored["val_params"]
+                val_opt_state = restored["val_opt_state"]
+                it0 = int(restored["it"]) + 1
+                min_train_loss = float(restored["min_train_loss"])
+                min_val_loss = float(restored["min_val_loss"])
+                history = [tuple(r) for r in np.asarray(restored["history"])]
+                print("Resumed train state at iteration %d." % it0)
 
     import time
 
     profiling = False
 
-    for it in range(cfg.n_opt_iters):
+    for it in range(it0, cfg.n_opt_iters):
         callbacks.iteration_started(it)
 
         # Optional device trace of a few warmed-up hot-loop steps
@@ -730,6 +769,26 @@ def train(
 
         params = new_params
 
+        if ckptr is not None and (
+            (it + 1) % cfg.checkpoint_period == 0 or it == cfg.n_opt_iters - 1
+        ):
+            ckptr.save(
+                os.path.join(ckpt_dir, str(it)),
+                force=True,  # overwrite when a restart revisits an iteration
+                state={
+                    "params": params,
+                    "opt_state": opt_state,
+                    "val_params": val_params,
+                    "val_opt_state": val_opt_state,
+                    "it": it,
+                    "min_train_loss": float(min_train_loss),
+                    "min_val_loss": float(min_val_loss),
+                    "history": np.asarray(history, np.float64),
+                },
+            )
+
+    if ckptr is not None:
+        ckptr.wait_until_finished()
     if writer is not None:
         writer.flush()
         writer.close()
