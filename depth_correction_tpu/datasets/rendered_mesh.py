@@ -27,7 +27,8 @@ class RenderedMeshDataset(_DatasetBase):
     def __init__(self, mesh_name: str, n_poses: int = 8, height: float = 1.5,
                  radius: float = 3.0, h_beams: int = 64, v_beams: int = 32,
                  fov_up: float = 0.4, fov_down: float = -0.4,
-                 max_range: float = 50.0, **_unused):
+                 max_range: float = 50.0, cache_dir: Optional[str] = None,
+                 **_unused):
         """
         :param mesh_name: path to an .obj/.ply scene (``rendered_mesh/<path>``
             names accepted).
@@ -35,6 +36,7 @@ class RenderedMeshDataset(_DatasetBase):
         :param h_beams: azimuth beams per revolution.
         :param v_beams: elevation beams in [fov_down, fov_up].
         """
+        self.cache_dir = cache_dir
         if mesh_name.startswith("rendered_mesh/"):
             mesh_name = mesh_name[len("rendered_mesh/"):]
         path = mesh_name
@@ -89,9 +91,35 @@ class RenderedMeshDataset(_DatasetBase):
         pose[:3, 3] = [self.radius * np.cos(a), self.radius * np.sin(a), self.height]
         return pose
 
+    def _disk_cache_path(self, i) -> Optional[str]:
+        """Per-scan disk cache (reference: dataset.py:669-683 caches rendered
+        scans so re-runs skip the expensive rendering) keyed by the render
+        parameters."""
+        if not self.cache_dir:
+            return None
+        key = "%s_n%d_h%g_r%g_b%dx%d_f%g_%g_m%g" % (
+            os.path.basename(self.name).replace("/", "_"), self.n_poses,
+            self.height, self.radius, self.h_beams, self.v_beams,
+            self.fov_up, self.fov_down, self.max_range,
+        )
+        return os.path.join(self.cache_dir, key, "%04d.npz" % i)
+
+    def render_all(self) -> int:
+        """Pre-render every scan into the disk cache (the ``render_meshes``
+        verb's work, reference main.py:396-453)."""
+        for i in self.ids:
+            self.local_cloud(i)
+        return len(self.ids)
+
     def local_cloud(self, i):
         if i in self._cache:
             return self._cache[i]
+        disk = self._disk_cache_path(i)
+        if disk and os.path.exists(disk):
+            data = np.load(disk)
+            cloud = make_structured(data["points"], normals=data["normals"])
+            self._cache[i] = cloud
+            return cloud
         pose = self.cloud_pose(i)
         dirs_world = self._beam_dirs @ pose[:3, :3].T
         origins = np.broadcast_to(pose[:3, 3], dirs_world.shape).astype(np.float32)
@@ -109,5 +137,9 @@ class RenderedMeshDataset(_DatasetBase):
         pts_local = (pts_world - pose[:3, 3]) @ pose[:3, :3]
         normals_local = self.face_normals[tri[hit]] @ pose[:3, :3]
         cloud = make_structured(pts_local, normals=normals_local)
+        disk = self._disk_cache_path(i)
+        if disk:
+            os.makedirs(os.path.dirname(disk), exist_ok=True)
+            np.savez_compressed(disk, points=pts_local, normals=normals_local)
         self._cache[i] = cloud
         return cloud

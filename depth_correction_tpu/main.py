@@ -178,6 +178,28 @@ def main(argv=None):
             from .slam_eval import export_corrected_clouds
 
             export_corrected_clouds(cfg, os.path.join(cfg.log_dir, "corrected"))
+        elif verb == "render_meshes":
+            # Pre-render every rendered_mesh dataset's scans into the disk
+            # cache (reference: main.py:396-453 fans this out as jobs).
+            from .datasets import create_dataset
+
+            names = [
+                n
+                for n in (cfg.train_names or [])
+                + (cfg.val_names or [])
+                + (cfg.test_names or [])
+                if "rendered_mesh" in n or n.endswith((".obj", ".ply"))
+            ]
+            cache = os.path.join(cfg.out_dir, "cache", "rendered_mesh")
+            for name in names:
+                kw = (
+                    {}
+                    if "cache_dir" in (cfg.dataset_kwargs or {})
+                    else {"cache_dir": cache}
+                )
+                ds = create_dataset(name, cfg, noisy=False, **kw)
+                n = ds.render_all() if hasattr(ds, "render_all") else 0
+                print("rendered %d scans for %s -> %s" % (n, name, cache))
         elif verb == "bench":
             import runpy
 

@@ -82,6 +82,38 @@ def test_rendered_mesh_dataset(tmp_path):
     assert ds.local_cloud(0) is ds.local_cloud(0)
 
 
+def test_rendered_mesh_disk_cache(tmp_path):
+    """render_all populates the disk cache (reference: dataset.py:669-683);
+    a fresh dataset instance reloads scans from it bit-exactly."""
+    import os
+
+    verts, faces = room_mesh()
+    path = str(tmp_path / "room.obj")
+    with open(path, "w") as f:
+        for v in verts:
+            f.write("v %f %f %f\n" % tuple(v))
+        for face in faces:
+            f.write("f %d %d %d\n" % tuple(face + 1))
+
+    from depth_correction_tpu.datasets.rendered_mesh import RenderedMeshDataset
+
+    cache = str(tmp_path / "cache")
+    kw = dict(n_poses=3, radius=2.0, height=1.5, h_beams=32, v_beams=12,
+              cache_dir=cache)
+    ds = RenderedMeshDataset(path, **kw)
+    assert ds.render_all() == 3
+    files = []
+    for root, _, names in os.walk(cache):
+        files += [n for n in names if n.endswith(".npz")]
+    assert len(files) == 3
+
+    ds2 = RenderedMeshDataset(path, **kw)
+    c1, c2 = ds.local_cloud(1), ds2.local_cloud(1)
+    assert len(c1) == len(c2)
+    for name in c1.dtype.names:
+        np.testing.assert_array_equal(c1[name], c2[name])
+
+
 def test_rendered_mesh_training_recovers_bias(tmp_path):
     """Full simulated-lidar loop: render scans from a mesh, inject a known
     bias, train, recover the weight (the reference's tier-3/4 strategy:
