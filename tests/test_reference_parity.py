@@ -396,3 +396,50 @@ def test_model_parity(ref, cls, kwargs):
             om.correct_depth(jnp.asarray(inv), jnp.asarray(angles, jnp.float64))
         )
         np.testing.assert_allclose(back, depth, rtol=1e-9)
+
+
+def test_filter_depth_parity(ref):
+    """Depth-bounds filter vs reference filters.py:116-141."""
+    import depth_correction.filters as ref_filters
+
+    from depth_correction_tpu.ops.filters import filter_depth_mask
+
+    pts, vps, dirs, depth = _fixture_points(n=300, seed=11)
+    dc = ref.DepthCloud(
+        vps=torch.as_tensor(vps, dtype=torch.float64),
+        dirs=torch.as_tensor(dirs, dtype=torch.float64),
+        depth=torch.as_tensor(depth[:, None], dtype=torch.float64),
+    )
+    from depth_correction_tpu.cloud import Cloud
+
+    lo, hi = 1.0, 3.0
+    ref_kept = ref_filters.filter_depth(dc, min=lo, max=hi, log=False)
+    our_cloud = Cloud.from_points(
+        jnp.asarray(pts, jnp.float64), vps=jnp.asarray(vps, jnp.float64)
+    )
+    ours = np.asarray(filter_depth_mask(our_cloud, lo, hi))
+    assert int(ours.sum()) == len(ref_kept)
+    # Same surviving depth multiset.
+    np.testing.assert_allclose(
+        np.sort(depth[ours]), np.sort(ref_kept.depth.numpy().ravel())
+    )
+
+
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_filter_grid_parity(ref, keep):
+    """Voxel-grid subsample vs reference filters.py:24-82: identical KEPT
+    POINT SETS for the deterministic first/last-in-cell policies."""
+    import depth_correction.filters as ref_filters
+
+    from depth_correction_tpu.ops.filters import filter_grid_indices
+
+    pts, _, _, _ = _fixture_points(n=400, seed=12)
+    res = 0.3
+    ref_idx = ref_filters.filter_grid(
+        torch.as_tensor(pts, dtype=torch.float64), res, only_mask=True,
+        keep=keep,
+    )
+    ref_set = {tuple(np.round(pts[i], 9)) for i in np.asarray(ref_idx)}
+    our_idx = np.asarray(filter_grid_indices(pts, res, keep=keep))
+    our_set = {tuple(np.round(pts[i], 9)) for i in our_idx}
+    assert our_set == ref_set
