@@ -118,11 +118,18 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     for ds in datasets:
         clouds, poses = [], []
         local_nns: List[np.ndarray] = []
-        for scan, pose in ds:
+        # Load the sequence first and pad every scan to ONE width: per-scan
+        # feature programs (kNN, moments, masks) then compile once and are
+        # reused across all scans instead of once per distinct padded size.
+        scans = [(scan, pose) for scan, pose in ds]
+        from .preproc import pad_size as _pad_size
+
+        common_pad = max((_pad_size(len(s)) for s, _ in scans), default=0)
+        for scan, pose in scans:
             if icp_mode:
                 # ICP consumes per-scan normals + planar masks; the global
                 # neighborhood machinery is not used (reference train.py:178).
-                fc = local_feature_cloud(scan, cfg)
+                fc = local_feature_cloud(scan, cfg, pad_to=common_pad)
                 clouds.append(
                     fc.replace(
                         points=None, mean=None, cov=None, eigvals=None,
@@ -139,18 +146,18 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
                 from .preproc import pad_size
 
                 c = _Cloud.from_structured_array(scan, dtype=cfg.numpy_float_type())
-                clouds.append(c.pad(pad_size(c.size)))
+                clouds.append(c.pad(common_pad))
             else:
                 if cfg.loss_offset:
                     # Keep the per-scan neighborhoods: the loss re-evaluates
                     # the LOCAL features under the current model each step
                     # (reference: preproc.py:67-77, eval.py:88).
                     fc, lnn, _lw = local_feature_cloud(
-                        scan, cfg, return_neighbors=True
+                        scan, cfg, pad_to=common_pad, return_neighbors=True
                     )
                     local_nns.append(np.asarray(lnn))
                 else:
-                    fc = local_feature_cloud(scan, cfg)
+                    fc = local_feature_cloud(scan, cfg, pad_to=common_pad)
                 # The hot loop consumes source fields + incidence angles +
                 # the planar mask only. Derived per-scan fields (cov,
                 # eigvecs, ...) carry (N, 3, 3) tiles that pad to (8, 128)
