@@ -97,8 +97,11 @@ class RenderedMeshDataset(_DatasetBase):
         parameters."""
         if not self.cache_dir:
             return None
+        # Key on the sanitized FULL mesh path: same-named meshes in
+        # different directories must not share cache entries.
+        mesh_key = self.name.replace(os.sep, "_").replace("/", "_").lstrip("_")
         key = "%s_n%d_h%g_r%g_b%dx%d_f%g_%g_m%g" % (
-            os.path.basename(self.name).replace("/", "_"), self.n_poses,
+            mesh_key, self.n_poses,
             self.height, self.radius, self.h_beams, self.v_beams,
             self.fov_up, self.fov_down, self.max_range,
         )

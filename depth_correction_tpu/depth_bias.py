@@ -97,8 +97,6 @@ def plot_fit(x, y, y_corr=None, x_label="x", y_label="y", deg: int = 1,
     fig.tight_layout()
     if path is not None:
         fig.savefig(path, dpi=120)
-        import matplotlib.pyplot as plt
-
         plt.close(fig)
     return ax
 

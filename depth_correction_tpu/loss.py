@@ -379,6 +379,10 @@ def icp_pair_correspondences(points, valid, icp_inlier_ratio: float = 0.5):
     for i in range(s - 1):
         v1, v2 = valid[i], valid[i + 1]
         rows2 = np.flatnonzero(v2)
+        if len(rows2) == 0 or not v1.any():
+            # A fully filtered-out scan: zero-weight pair instead of a
+            # cKDTree/quantile crash on empty inputs.
+            continue
         tree = cKDTree(points[i + 1][rows2])
         d, ind = tree.query(points[i], k=1, workers=-1)
         ind = np.minimum(ind, len(rows2) - 1)

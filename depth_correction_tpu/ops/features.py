@@ -532,7 +532,11 @@ def neighborhood_features(
     # Component layout (D, M, K) end to end: lane-axis gathers keep the
     # component axis free and the covariance reduces over the trailing K
     # lanes without ever materializing an (M, K, 3) relayout.
-    if t_idx is not None and not isinstance(t_idx, BucketedTranspose):
+    if (
+        t_idx is not None
+        and t_slot is not None
+        and not isinstance(t_idx, BucketedTranspose)
+    ):
         nbr = _gather_T(points, neighbors, t_idx, t_slot)  # (3, M, K)
     else:
         nbr = jnp.take(points.T, jnp.maximum(neighbors, 0), axis=1)
@@ -543,9 +547,17 @@ def neighborhood_features(
 
     if scale is not None:
         # Reference update_weights(scale): w *= exp(-(|x - mean| / scale)^2)
-        # with x the *query* point (depth_cloud.py:362-363).
-        dist2 = jnp.sum((points - mean_T.T) ** 2, axis=-1)
-        weights = weights * jnp.exp(-(dist2 / scale**2))
+        # with x the *query* point (depth_cloud.py:362-363). With compacted
+        # query rows the query positions are not part of this call's
+        # arguments; the caller must pass the full table (Mq == M).
+        if neighbors.shape[0] != points.shape[0]:
+            raise NotImplementedError(
+                "nn_scale needs query positions: got %d query rows over a "
+                "%d-point table (query compaction is disabled for "
+                "nn_scale runs)" % (neighbors.shape[0], points.shape[0])
+            )
+        dist2 = jnp.sum((points - mean_T.T) ** 2, axis=-1)  # (M,)
+        weights = weights * jnp.exp(-(dist2 / scale**2))[:, None]
         w = weights[None]
         w_sum = jnp.maximum(jnp.sum(weights, axis=-1), 1e-12)
         mean_T = jnp.sum(nbr * w, axis=-1) / w_sum

@@ -157,14 +157,25 @@ def _grid_query_chunk(
     if k == 0:  # counts-only mode
         return jnp.sum(~jnp.isinf(d2), axis=0, dtype=jnp.int32)
 
-    neg_top, arg = jax.lax.top_k(-d2.T, k)  # (Q, k); one (W, Q) relayout
+    # Drop-in contract with radius_neighbors: any k is accepted — when k
+    # exceeds the candidate width W (possible on sparse clouds where the
+    # window floors at 8), the extra columns pad with -1/inf.
+    k_eff = min(k, d2.shape[0])
+    neg_top, arg = jax.lax.top_k(-d2.T, k_eff)  # (Q, k); one (W, Q) relayout
     best_d2 = -neg_top
     best_slot = jnp.take_along_axis(slots.T, arg, axis=1)
     idx = jnp.take(order, best_slot)
     missing = jnp.isinf(best_d2)
     idx = jnp.where(missing, -1, idx)
     d = jnp.sqrt(jnp.where(missing, 0.0, best_d2))
-    return jnp.where(missing, big, d), idx
+    d = jnp.where(missing, big, d)
+    if k_eff < k:
+        pad = k - k_eff
+        d = jnp.concatenate([d, jnp.full((d.shape[0], pad), big, d.dtype)], 1)
+        idx = jnp.concatenate(
+            [idx, jnp.full((idx.shape[0], pad), -1, idx.dtype)], 1
+        )
+    return d, idx
 
 
 def grid_radius_neighbors(

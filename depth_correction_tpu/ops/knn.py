@@ -253,7 +253,17 @@ def suggest_k_max(
     both truncate the over-K neighborhoods (a documented parity deviation —
     see ``Config.nn_max_neighbors``).
     """
-    counts = np.asarray(neighbor_counts(points, query, r, valid_points))
+    n = np.asarray(points).shape[0]
+    if n >= 65536:
+        # The O(N*Q) brute-force count is minutes beyond ~131k points; the
+        # grid engine counts the same balls exactly (ops/grid_hash.py).
+        from .grid_hash import grid_neighbor_counts
+
+        counts = np.asarray(
+            grid_neighbor_counts(points, query, r=r, valid_points=valid_points)
+        )
+    else:
+        counts = np.asarray(neighbor_counts(points, query, r, valid_points))
     if counts.size == 0:
         k = 1
     elif quantile >= 1.0:

@@ -159,7 +159,10 @@ def slam_mapper(clouds: Sequence[Cloud], init_poses: np.ndarray,
 
     :return: (S, 4, 4) estimated world poses.
     """
+    import warnings
+
     from .ops.filters import filter_grid_indices
+    from .preproc import pad_size
 
     def merge(map_pts, map_normals, new_pts, new_normals):
         pts = np.concatenate([map_pts, new_pts])
@@ -167,20 +170,30 @@ def slam_mapper(clouds: Sequence[Cloud], init_poses: np.ndarray,
         keep = np.asarray(filter_grid_indices(pts, map_voxel, keep="first"))
         pts, normals = pts[keep], normals[keep]
         if len(pts) > map_capacity:
+            # Bounded map: established (older) voxels win; raise map_voxel
+            # or map_capacity to keep newly explored space.
+            warnings.warn(
+                "slam_mapper map reached capacity (%d voxels at %.2g m); "
+                "new geometry is being dropped" % (map_capacity, map_voxel)
+            )
             pts, normals = pts[:map_capacity], normals[:map_capacity]
         return pts, normals
 
     def as_target(map_pts, map_normals, dtype):
         n = len(map_pts)
-        pad = map_capacity - n
+        # Pad to the pad_size granularity of the CURRENT map, not the full
+        # capacity: registrations only pay for the map that exists (a few
+        # recompiles as the buffer steps up through sizes).
+        width = min(pad_size(max(n, 1)), map_capacity)
+        pad = width - n
         pts = np.concatenate([map_pts, np.zeros((pad, 3))])
         normals = np.concatenate([map_normals, np.zeros((pad, 3))])
-        valid = np.zeros(map_capacity, bool)
+        valid = np.zeros(width, bool)
         valid[:n] = True
         return Cloud(
-            vps=jnp.zeros((map_capacity, 3), dtype),
+            vps=jnp.zeros((width, 3), dtype),
             dirs=jnp.asarray(normals, dtype),  # unused by ICP target
-            depth=jnp.zeros(map_capacity, dtype),
+            depth=jnp.zeros(width, dtype),
             valid=jnp.asarray(valid),
             points=jnp.asarray(pts, dtype),
             normals=jnp.asarray(normals, dtype),
@@ -196,9 +209,10 @@ def slam_mapper(clouds: Sequence[Cloud], init_poses: np.ndarray,
 
     dtype = clouds[0].depth.dtype
     est = [np.asarray(init_poses[0])]
-    map_pts, map_normals = scan_arrays(clouds[0], est[0])
-    keep = np.asarray(filter_grid_indices(map_pts, map_voxel, keep="first"))
-    map_pts, map_normals = map_pts[keep], map_normals[keep]
+    first_pts, first_normals = scan_arrays(clouds[0], est[0])
+    map_pts, map_normals = merge(
+        np.zeros((0, 3)), np.zeros((0, 3)), first_pts, first_normals
+    )
 
     for i in range(1, len(clouds)):
         prior = est[-1] @ np.asarray(

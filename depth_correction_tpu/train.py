@@ -229,10 +229,16 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         from .preproc import pad_size
 
         m_total = int(np.asarray(gmask).shape[0])
-        rows = np.flatnonzero(np.asarray(gmask))
-        mq = pad_size(max(len(rows), 1))
-        qrows = np.full(mq, -1, np.int64)
-        qrows[: len(rows)] = rows
+        if cfg.nn_scale is not None:
+            # Gaussian re-weighting needs the query POSITIONS (reference
+            # depth_cloud.py:362-363 uses the query point) — keep full rows
+            # so the feature op's query axis aligns with the point table.
+            qrows = np.arange(m_total, dtype=np.int64)
+        else:
+            rows = np.flatnonzero(np.asarray(gmask))
+            mq = pad_size(max(len(rows), 1))
+            qrows = np.full(mq, -1, np.int64)
+            qrows[: len(rows)] = rows
         nn_np = np.asarray(nn)[np.maximum(qrows, 0)]
         nn_np[qrows < 0] = -1
         w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
@@ -240,7 +246,10 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         w_q = jnp.asarray(w_np)
         neighbors.append(nn_q)
         weights.append(w_q)
-        masks.append(jnp.asarray(qrows >= 0))
+        if cfg.nn_scale is not None:
+            masks.append(jnp.asarray(np.asarray(gmask)))
+        else:
+            masks.append(jnp.asarray(qrows >= 0))
 
         # Dynamic loss offset (reference: preproc.py:67-77, loss.py:279-281):
         # carry the frozen LOCAL (per-scan) neighborhoods of the query rows so

@@ -87,6 +87,33 @@ def test_grid_query_differs_from_points():
     assert neighbor_sets(idx) == want
 
 
+def test_grid_k_larger_than_candidate_window():
+    """Drop-in contract: k beyond the candidate width pads with -1/inf
+    instead of crashing top_k (sparse clouds floor the window at 8)."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-20, 20, (2000, 3)).astype(np.float32)  # sparse
+    d, idx = grid_radius_neighbors(pts, r=0.25, k=128)
+    assert idx.shape == (2000, 128)
+    want = [set(b) for b in cKDTree(pts).query_ball_point(pts, 0.25)]
+    assert neighbor_sets(idx) == want
+    assert (np.asarray(idx)[:, -1] == -1).all()  # padded tail
+
+
+def test_suggest_k_max_uses_grid_at_scale():
+    """suggest_k_max routes through the grid counter above 64k points and
+    agrees with the brute-force sizing."""
+    from depth_correction_tpu.ops.knn import suggest_k_max
+
+    rng = np.random.default_rng(8)
+    pts = rng.uniform(0, 12.0, (70000, 3)).astype(np.float32)
+    k = suggest_k_max(pts, r=0.25)
+    counts = np.array(
+        [len(b) for b in cKDTree(pts).query_ball_point(pts[:2000], 0.25)]
+    )
+    assert k >= counts.max()
+    assert k <= max(8, int(counts.max() * 4))  # sane, not wildly padded
+
+
 def test_grid_bucket_cap_exact_when_sized():
     """Explicit bucket_cap >= true occupancy stays exact."""
     rng = np.random.default_rng(6)

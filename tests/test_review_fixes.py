@@ -1,0 +1,120 @@
+"""Regression tests for the round-2 self-review findings."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from depth_correction_tpu.config import Config
+
+
+def test_rendered_mesh_cache_key_distinguishes_paths(tmp_path):
+    """Same-named meshes in different directories must not share cache
+    entries."""
+    from depth_correction_tpu.datasets.rendered_mesh import RenderedMeshDataset
+    from tests.test_raycast import room_mesh
+
+    import os
+
+    verts, faces = room_mesh()
+    for sub in ("v1", "v2"):
+        os.makedirs(str(tmp_path / sub))
+        with open(str(tmp_path / sub / "room.obj"), "w") as f:
+            for v in verts * (1.0 if sub == "v1" else 2.0):
+                f.write("v %f %f %f\n" % tuple(v))
+            for fc in faces:
+                f.write("f %d %d %d\n" % tuple(fc + 1))
+
+    cache = str(tmp_path / "cache")
+    kw = dict(n_poses=1, radius=2.0, height=1.5, h_beams=16, v_beams=8,
+              cache_dir=cache)
+    ds1 = RenderedMeshDataset(str(tmp_path / "v1" / "room.obj"), **kw)
+    ds2 = RenderedMeshDataset(str(tmp_path / "v2" / "room.obj"), **kw)
+    assert ds1._disk_cache_path(0) != ds2._disk_cache_path(0)
+    c1 = ds1.local_cloud(0)
+    c2 = ds2.local_cloud(0)
+    # The doubled room produces different geometry, not a cache hit.
+    assert not (
+        len(c1) == len(c2) and np.allclose(c1["x"], c2["x"])
+    )
+
+
+def test_icp_correspondences_empty_scan():
+    """A fully filtered-out scan yields a zero-weight pair, not a crash."""
+    from depth_correction_tpu.loss import icp_pair_correspondences
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(3, 50, 3))
+    valid = np.ones((3, 50), bool)
+    valid[1] = False  # middle scan fully filtered
+    idx, w = icp_pair_correspondences(pts, valid, 0.5)
+    assert idx.shape == (2, 50) and w.shape == (2, 50)
+    assert not w[0].any() and not w[1].any()
+
+    valid2 = np.ones((2, 50), bool)
+    idx2, w2 = icp_pair_correspondences(pts[:2], valid2, 0.5)
+    assert w2[0].any()
+
+
+def test_nn_scale_training_path():
+    """cfg.nn_scale runs end to end (query compaction disabled); the
+    Gaussian re-weighting changes the loss."""
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+
+    def cfg_with(scale):
+        cfg = Config()
+        cfg.float_type = "float32"
+        cfg.train_names = ["ground_plane/3"]
+        cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 20.0, 0.3
+        cfg.nn_r, cfg.nn_k = 0.4, 0
+        cfg.vp_dispersion_bounds = []
+        cfg.eigenvalue_ratio_bounds = []
+        cfg.min_valid_neighbors = 3
+        cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+        cfg.loss_kwargs = {"sqrt": False, "normalization": False}
+        cfg.nn_scale = scale
+        return cfg
+
+    model = {"model": ScaledPolynomial(w=jnp.zeros(1),
+                                       exponent=jnp.asarray([4.0]))}
+    vals = {}
+    for scale in (None, 0.3):
+        cfg = cfg_with(scale)
+        ds = create_dataset(cfg.train_names[0], cfg)
+        data = prepare_sequences([ds], cfg)
+        vals[scale] = float(make_loss_fn(cfg)(model, data))
+        assert np.isfinite(vals[scale])
+    assert vals[None] != vals[0.3]
+
+
+def test_slam_mapper_target_grows_with_map():
+    """as_target pads to the current map size, not full capacity (and the
+    capacity overflow warns instead of silently truncating)."""
+    import warnings
+
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.preproc import local_feature_cloud
+    from depth_correction_tpu.slam_eval import slam_mapper
+
+    cfg = Config()
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 30.0, 0.3
+    cfg.nn_r, cfg.nn_k = 0.6, 0
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = []
+    cfg.min_valid_neighbors = 3
+    cfg.depth_bias_model_kwargs = {"w": [0.0], "exponent": [4.0]}
+    ds = create_dataset("open_box/n_3_size_8_8_4_height_1_density_40", cfg,
+                        noisy=False)
+    clouds, poses = [], []
+    for scan, pose in ds:
+        clouds.append(local_feature_cloud(scan, cfg))
+        poses.append(np.asarray(pose))
+    poses = np.stack(poses)
+
+    # Tiny capacity: overflow must warn, not crash.
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        est = slam_mapper(clouds, poses, n_iters=2, map_voxel=0.3,
+                          map_capacity=512)
+    assert est.shape == (3, 4, 4)
+    assert any("capacity" in str(w.message) for w in rec)
