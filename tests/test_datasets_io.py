@@ -147,3 +147,78 @@ def test_pathlock_concurrent_appends(tmp_path):
     lines = open(path).read().strip().splitlines()
     assert len(lines) == n_threads * n_writes
     assert len(set(lines)) == n_threads * n_writes
+
+
+def test_asl_laser_end_to_end_training(tmp_path, monkeypatch):
+    """Real-data-format path end to end: an asl_laser-format fixture (CSV
+    scans + Leica pose file) of a planar scene with an injected bias flows
+    loader -> wrappers -> trainer, and the recovered weight moves toward
+    the injected value."""
+    import jax.numpy as jnp
+
+    import depth_correction_tpu.datasets.asl_laser as asl
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.datasets.asl_laser import write_poses
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.train import make_loss_fn, make_optimizer, prepare_sequences
+
+    monkeypatch.setattr(asl, "data_dir", str(tmp_path))
+
+    # Planar scene sampled from 4 elevated, shifted viewpoints, stored in
+    # the ASL on-disk format (sensor-frame CSV points, global pose file).
+    rng = np.random.default_rng(0)
+    seq = tmp_path / "plane"
+    (seq / "csv_local").mkdir(parents=True)
+    (seq / "csv_global").mkdir(parents=True)
+    poses = []
+    for i in range(4):
+        world = np.stack(
+            [rng.uniform(-4, 4, 900), rng.uniform(-4, 4, 900), np.zeros(900)],
+            axis=1,
+        )
+        T = np.eye(4)
+        T[:3, 3] = [0.7 * i, 0.4 * i, 1.6]
+        local = (world - T[:3, 3]) @ T[:3, :3]
+        with open(seq / "csv_local" / ("Hokuyo_%d.csv" % i), "w") as f:
+            f.write("timestamp, x, y, z, intensity\n")
+            for p in local:
+                f.write("%.3f, %.6f, %.6f, %.6f, 1.0\n" % (i, *p))
+        poses.append(T)
+    write_poses(range(4), poses, str(seq / "csv_global" / "pose_scanner_leica.csv"))
+
+    cfg = Config()
+    cfg.float_type = "float32"
+    cfg.dataset = "asl_laser"
+    cfg.train_names = ["asl_laser/plane"]
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.5, 20.0, 0.2
+    cfg.nn_r, cfg.nn_k = 0.4, 0
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = []
+    cfg.min_valid_neighbors = 3
+    cfg.depth_bias_model_kwargs = {"w": [-0.004], "exponent": [4.0]}
+    cfg.loss_kwargs = {"sqrt": False, "normalization": False}
+    cfg.lr = 4e-3
+
+    ds = create_dataset(cfg.train_names[0], cfg)
+    data = prepare_sequences([ds], cfg)
+    loss_fn = make_loss_fn(cfg)
+    params = {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))}
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    import jax
+    import optax
+
+    @jax.jit
+    def step(params, opt_state, data):
+        loss, grads = jax.value_and_grad(loss_fn)(params, data)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    l0 = float(loss_fn(params, data))
+    for _ in range(40):
+        loss, params, opt_state = step(params, opt_state, data)
+    assert float(loss) < l0
+    w = float(np.asarray(params["model"].w).ravel()[0])
+    assert w < -1e-3  # moving toward the injected -0.004
