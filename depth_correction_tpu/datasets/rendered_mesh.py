@@ -56,6 +56,7 @@ class RenderedMeshDataset(_DatasetBase):
             np.linalg.norm(fn, axis=1, keepdims=True), 1e-30
         )
         self.name = mesh_name
+        self.path = path  # resolved mesh location (cache identity)
         self.n_poses = n_poses
         self.height = height
         self.radius = radius
@@ -97,11 +98,16 @@ class RenderedMeshDataset(_DatasetBase):
         parameters."""
         if not self.cache_dir:
             return None
-        # Key on the sanitized FULL mesh path: same-named meshes in
-        # different directories must not share cache entries.
-        mesh_key = self.name.replace(os.sep, "_").replace("/", "_").lstrip("_")
-        key = "%s_n%d_h%g_r%g_b%dx%d_f%g_%g_m%g" % (
-            mesh_key, self.n_poses,
+        # Key on the RESOLVED mesh path (hashed — distinct paths must not
+        # collide, including same-named meshes found via different data
+        # roots) plus the render parameters.
+        import hashlib
+
+        digest = hashlib.sha1(
+            os.path.abspath(self.path).encode()
+        ).hexdigest()[:12]
+        key = "%s_%s_n%d_h%g_r%g_b%dx%d_f%g_%g_m%g" % (
+            os.path.basename(self.name), digest, self.n_poses,
             self.height, self.radius, self.h_beams, self.v_beams,
             self.fov_up, self.fov_down, self.max_range,
         )

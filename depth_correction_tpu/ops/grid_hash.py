@@ -36,6 +36,9 @@ import numpy as np
 __all__ = ["grid_radius_neighbors", "grid_neighbor_counts", "grid_occupancy"]
 
 _QUERY_CHUNK = 32768
+# Below this size the O(N*Q) tiled scan beats the grid's sort/searchsorted
+# setup; shared by the establishment router and suggest_k_max.
+GRID_NN_MIN_POINTS = 65536
 # Dense per-cell bucket-start table (one gather instead of a binary search
 # per neighbor column) up to this many cells; 2^23 entries = 32 MB HBM.
 _DENSE_STARTS_MAX_CELLS = 1 << 23

@@ -253,16 +253,22 @@ def suggest_k_max(
     both truncate the over-K neighborhoods (a documented parity deviation —
     see ``Config.nn_max_neighbors``).
     """
-    n = np.asarray(points).shape[0]
-    if n >= 65536:
+    from .grid_hash import GRID_NN_MIN_POINTS, grid_neighbor_counts
+
+    counts = None
+    if np.asarray(points).shape[0] >= GRID_NN_MIN_POINTS:
         # The O(N*Q) brute-force count is minutes beyond ~131k points; the
         # grid engine counts the same balls exactly (ops/grid_hash.py).
-        from .grid_hash import grid_neighbor_counts
-
-        counts = np.asarray(
-            grid_neighbor_counts(points, query, r=r, valid_points=valid_points)
-        )
-    else:
+        try:
+            counts = np.asarray(
+                grid_neighbor_counts(
+                    points, query, r=r, valid_points=valid_points
+                )
+            )
+        except ValueError:
+            # Scene too large for int32 cell ids — fall back to the scan.
+            counts = None
+    if counts is None:
         counts = np.asarray(neighbor_counts(points, query, r, valid_points))
     if counts.size == 0:
         k = 1

@@ -222,6 +222,14 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
 
     if cfg.nn_type == NeighborhoodType.plane:
         return _make_sharded_plane_loss_fn(data, cfg, mesh)
+    if cfg.nn_scale is not None:
+        # Gaussian re-weighting needs every query's own position; the
+        # sharded layout holds M/D query rows against the replicated point
+        # table, so the positions are not alignable without extra plumbing.
+        raise NotImplementedError(
+            "nn_scale (Gaussian neighborhood re-weighting) trains "
+            "single-device only"
+        )
     kwargs = dict(cfg.loss_kwargs or {})
     normalization = bool(kwargs.get("normalization", False))
     use_trace = cfg.loss == "trace_loss"

@@ -35,13 +35,8 @@ from .ops.filters import (
     ball_angle_to_distance,
     global_cloud_mask,
 )
-from .ops.grid_hash import grid_radius_neighbors
+from .ops.grid_hash import GRID_NN_MIN_POINTS, grid_radius_neighbors
 from .ops.knn import nearest_neighbors, radius_neighbors, suggest_k_max
-
-# On-device radius searches switch from the O(N*Q) tiled scan to the
-# grid-hash engine (ops/grid_hash.py) above this size; below it the scan's
-# single compiled program is cheaper than the grid's sort+searchsorted setup.
-GRID_NN_MIN_POINTS = 65536
 from .ops.se3 import xyz_axis_angle_to_matrix
 
 __all__ = [

@@ -154,8 +154,10 @@ def slam_mapper(clouds: Sequence[Cloud], init_poses: np.ndarray,
     map (drift grows much slower than scan-to-previous odometry), then
     merges into it (first-in-voxel points win, like a mapper's static map).
 
-    The map lives in a FIXED-capacity padded buffer so every registration
-    reuses one compiled XLA program.
+    The registration target pads to the CURRENT map's pad_size width
+    (capped at ``map_capacity``): the program recompiles only when the map
+    steps up to a new width, and each registration pays for the map that
+    exists rather than the full capacity.
 
     :return: (S, 4, 4) estimated world poses.
     """

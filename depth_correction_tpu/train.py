@@ -121,11 +121,15 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         # Load the sequence first and pad every scan to ONE width: per-scan
         # feature programs (kNN, moments, masks) then compile once and are
         # reused across all scans instead of once per distinct padded size.
+        # Raw scans are released as they are consumed so peak host memory
+        # stays ~one sequence of feature clouds, not raw + features.
         scans = [(scan, pose) for scan, pose in ds]
         from .preproc import pad_size as _pad_size
 
         common_pad = max((_pad_size(len(s)) for s, _ in scans), default=0)
-        for scan, pose in scans:
+        for scan_i in range(len(scans)):
+            scan, pose = scans[scan_i]
+            scans[scan_i] = None
             if icp_mode:
                 # ICP consumes per-scan normals + planar masks; the global
                 # neighborhood machinery is not used (reference train.py:178).
@@ -143,7 +147,6 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
                 # Plane mode consumes raw clouds; incidence angles come from
                 # the plane normals later (reference: train.py:98-101).
                 from .cloud import Cloud as _Cloud
-                from .preproc import pad_size
 
                 c = _Cloud.from_structured_array(scan, dtype=cfg.numpy_float_type())
                 clouds.append(c.pad(common_pad))
@@ -234,22 +237,20 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             # depth_cloud.py:362-363 uses the query point) — keep full rows
             # so the feature op's query axis aligns with the point table.
             qrows = np.arange(m_total, dtype=np.int64)
+            nn_np = np.asarray(nn)
+            w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
+            masks.append(jnp.asarray(np.asarray(gmask)))
         else:
             rows = np.flatnonzero(np.asarray(gmask))
             mq = pad_size(max(len(rows), 1))
             qrows = np.full(mq, -1, np.int64)
             qrows[: len(rows)] = rows
-        nn_np = np.asarray(nn)[np.maximum(qrows, 0)]
-        nn_np[qrows < 0] = -1
-        w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
-        nn_q = jnp.asarray(nn_np, jnp.int32)
-        w_q = jnp.asarray(w_np)
-        neighbors.append(nn_q)
-        weights.append(w_q)
-        if cfg.nn_scale is not None:
-            masks.append(jnp.asarray(np.asarray(gmask)))
-        else:
+            nn_np = np.asarray(nn)[np.maximum(qrows, 0)]
+            nn_np[qrows < 0] = -1
+            w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
             masks.append(jnp.asarray(qrows >= 0))
+        neighbors.append(jnp.asarray(nn_np, jnp.int32))
+        weights.append(jnp.asarray(w_np))
 
         # Dynamic loss offset (reference: preproc.py:67-77, loss.py:279-281):
         # carry the frozen LOCAL (per-scan) neighborhoods of the query rows so
@@ -277,8 +278,15 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             off_weights.append(None)
             off_transpose.append(None)
 
-        tg = build_bucketed_transpose(nn_np, num_points=m_total, weights=w_np)
-        t_neighbors.append(tg)
+        if cfg.nn_scale is not None:
+            # The Gaussian-reweighted path recomputes weights in-step, so
+            # the frozen-weight analytic backward (and its transpose graph)
+            # does not apply — don't build/carry it.
+            t_neighbors.append(None)
+        else:
+            t_neighbors.append(
+                build_bucketed_transpose(nn_np, num_points=m_total, weights=w_np)
+            )
         t_slots.append(None)
         t_weights.append(None)
     return TrainData(
