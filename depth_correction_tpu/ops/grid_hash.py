@@ -14,11 +14,11 @@ the CPU cKDTree in src/depth_correction/nearest_neighbors.py:22-80):
 
 Everything after sizing runs on the device inside one jitted program with
 static shapes; XLA lowers the (Q, 27*B) candidate pipeline as lane-axis
-gathers + a batched sort, no scatter. Out-of-range neighbor-cell ids alias
-other real cells, which only ADDS candidates (filtered by the distance
-test) and never loses one, so the search is exact whenever
-``cell_size >= r`` and ``bucket_cap`` covers the fullest cell (the default
-sizing pass guarantees it).
+gathers + a batched sort, no scatter. Out-of-range neighbor cells are
+masked out (columns by a bounds check, the z-window by clamping into the
+valid z range), so the search is exact whenever ``cell_size >= r`` and
+``bucket_cap`` covers the fullest cell (the default sizing pass guarantees
+it) — including thin-slab scenes where a grid axis has <= 2 cells.
 
 Sizing (`bucket_cap`, cell-grid extents) is host-side metadata computed
 once; establishment runs once per training (reference train.py:166-175),
@@ -53,19 +53,22 @@ def _cell_ids(points, mins, dims, cell_size):
 
 
 def _grid_meta(points, valid, cell_size):
-    """Host-side sizing: per-axis mins and cell-grid dims (6 scalars)."""
+    """Host-side sizing: per-axis mins, cell-grid dims, final cell size.
+
+    Scenes whose extent would need >= 2^31 cells auto-coarsen: the cell
+    doubles until the linearized ids fit int32. Exactness is preserved
+    (coverage only needs ``cell >= r``); bigger cells just widen the
+    candidate windows, degrading speed gracefully instead of raising.
+    """
     pts = np.asarray(points, np.float64)
     val = np.asarray(valid) if valid is not None else np.ones(len(pts), bool)
     sel = pts[val] if val.any() else pts[:1]
-    mins = np.floor(sel.min(axis=0) / cell_size) * cell_size
-    dims = np.floor((sel.max(axis=0) - mins) / cell_size).astype(np.int64) + 1
-    if int(dims[0]) * int(dims[1]) * int(dims[2]) >= 2**31:
-        raise ValueError(
-            "grid too large for int32 cell ids: dims=%s (scene extent %s m "
-            "at cell %.3g m); raise cell_size or fall back to the tiled scan"
-            % (dims, (sel.max(0) - sel.min(0)), cell_size)
-        )
-    return mins, dims.astype(np.int32)
+    while True:
+        mins = np.floor(sel.min(axis=0) / cell_size) * cell_size
+        dims = np.floor((sel.max(axis=0) - mins) / cell_size).astype(np.int64) + 1
+        if int(dims[0]) * int(dims[1]) * int(dims[2]) < 2**31:
+            return mins, dims.astype(np.int32), float(cell_size)
+        cell_size = 2.0 * cell_size
 
 
 def grid_occupancy(ids_sorted: jax.Array) -> jax.Array:
@@ -101,26 +104,42 @@ def _grid_query_chunk(
 
     # The three z-neighbor cells of each (dx, dy) column have CONTIGUOUS
     # linear ids, so one searchsorted per column + a 3*bucket_cap window
-    # covers them: 9 binary searches instead of 27. Out-of-range coords
-    # alias other real cells, which only adds distance-filtered candidates
-    # and never loses one (see module docstring); the preceding alias run is
-    # itself <= bucket_cap, so the window still covers every real cell.
+    # covers them: 9 binary searches instead of 27. Out-of-range (dx, dy)
+    # columns are masked out (col_ok) and the z-window is clamped to the
+    # valid z range — unclamped ids would alias OTHER real cells, and when
+    # any grid axis has <= 2 cells (thin slabs) the aliased cells coincide
+    # with other searched columns, double-counting their points (duplicates
+    # evict true neighbors from top-k).
     offs = jnp.asarray(
         [[dx, dy] for dx in (-1, 0, 1) for dy in (-1, 0, 1)], jnp.int32
     )  # (9, 2)
     cc = cq[:, None, :2] + offs[None]  # (Q, 9, 2)
-    lo = (cc[..., 0] * dims[1] + cc[..., 1]) * dims[2] + (cq[:, None, 2] - 1)
+    col_ok = (
+        (cc[..., 0] >= 0)
+        & (cc[..., 0] < dims[0])
+        & (cc[..., 1] >= 0)
+        & (cc[..., 1] < dims[1])
+    )  # (Q, 9)
+    zlo = jnp.clip(cq[:, 2] - 1, 0, dims[2] - 1)  # (Q,)
+    zhi = jnp.clip(cq[:, 2] + 1, 0, dims[2] - 1)
+    base = (cc[..., 0] * dims[1] + cc[..., 1]) * dims[2]  # (Q, 9)
+    lo = base + zlo[:, None]
+    # Clamp column ids of masked columns into range so gathers/searches stay
+    # well-defined; their results are discarded via col_ok.
+    n_cells_total = dims[0] * dims[1] * dims[2]
+    lo = jnp.clip(lo, 0, n_cells_total - 1)
 
     if cell_starts is not None:
-        # Dense start table: the EXACT window [starts[lo], starts[lo+3]) per
-        # column — two clamped (Q, 9) gathers replace both the binary search
-        # and the (W, Q) id-membership gathers. Invalid points carry a
+        # Dense start table: the EXACT window [starts[lo], starts[lo+zlen])
+        # per column — two clamped (Q, 9) gathers replace both the binary
+        # search and the (W, Q) id-membership gathers. Invalid points carry a
         # sentinel id past n_cells, so they sit beyond starts[n_cells] and
         # never land in a window: no validity gather either.
         n_cells = cell_starts.shape[0] - 1
+        zlen = (zhi - zlo + 1)[:, None]  # (Q, 1) in [1, 3]
         start = jnp.take(cell_starts, jnp.clip(lo, 0, n_cells))  # (Q, 9)
-        end = jnp.take(cell_starts, jnp.clip(lo + 3, 0, n_cells))
-        length = end - start
+        end = jnp.take(cell_starts, jnp.clip(lo + zlen, 0, n_cells))
+        length = jnp.where(col_ok, end - start, 0)
         win = bucket_cap  # max 3-cell run (sized in _build_grid)
         slots_raw = (
             start.T[:, None, :] + jnp.arange(win, dtype=jnp.int32)[None, :, None]
@@ -144,9 +163,12 @@ def _grid_query_chunk(
         slots = jnp.minimum(slots_raw, n - 1)
         ids_c = jnp.take(ids_sorted, slots)  # (W, Q)
         lo_w = jnp.repeat(lo.T, win, axis=0)  # (W, Q)
+        hi_w = jnp.repeat((base + zhi[:, None]).T, win, axis=0)
+        ok_w = jnp.repeat(col_ok.T, win, axis=0)
         in_window = (
             (ids_c >= lo_w)
-            & (ids_c <= lo_w + 2)
+            & (ids_c <= hi_w)
+            & ok_w
             & (slots_raw < n)
             & jnp.take(valid_sorted, slots)
         )
@@ -235,7 +257,7 @@ def _build_grid(points, valid_points, r, cell_size, bucket_cap):
     if valid_points is None:
         valid_points = jnp.ones(points.shape[0], bool)
 
-    mins_np, dims_np = _grid_meta(points, valid_points, cell)
+    mins_np, dims_np, cell = _grid_meta(points, valid_points, cell)
     mins = jnp.asarray(mins_np, points.dtype)
     dims = jnp.asarray(dims_np)
 

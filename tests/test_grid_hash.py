@@ -114,6 +114,49 @@ def test_suggest_k_max_uses_grid_at_scale():
     assert k <= max(8, int(counts.max() * 4))  # sane, not wildly padded
 
 
+@pytest.mark.parametrize(
+    "thickness,axis", [(0.0, 2), (0.3, 2), (0.0, 0), (0.45, 1)]
+)
+def test_grid_thin_slab_exact(thickness, axis):
+    """Grids with <= 2 cells along an axis: the clamped z-window / masked
+    columns must not alias points into the candidate set twice (duplicates
+    used to evict true neighbors from top-k on flat clouds)."""
+    rng = np.random.default_rng(11)
+    n, r = 4000, 0.25
+    pts = rng.uniform(-4, 4, (n, 3))
+    pts[:, axis] = rng.uniform(0, thickness, n)  # flat or thin slab
+    pts = pts.astype(np.float32)
+
+    tree = cKDTree(pts)
+    want = [set(b) for b in tree.query_ball_point(pts, r)]
+    k = max(len(s) for s in want)
+    d, idx = grid_radius_neighbors(pts, r=r, k=k + 2)
+    got = neighbor_sets(idx)
+    assert got == want
+    # No duplicate indices within a row.
+    rows = np.asarray(idx)
+    for row, s in zip(rows, want):
+        kept = row[row >= 0]
+        assert len(kept) == len(set(kept.tolist())) == len(s)
+    counts = np.asarray(grid_neighbor_counts(pts, r=r))
+    np.testing.assert_array_equal(counts, [len(s) for s in want])
+
+
+def test_grid_huge_extent_coarsens_instead_of_raising():
+    """A scene whose extent would need >= 2^31 cells auto-coarsens the cell
+    size (exactness holds for any cell >= r) instead of raising."""
+    rng = np.random.default_rng(12)
+    pts = rng.uniform(0, 50.0, (3000, 3))
+    pts[:5] += np.asarray([[40000.0, 35000.0, 30000.0]])  # blow up the extent
+    pts = pts.astype(np.float32)
+    r = 0.02  # tiny r: dims ~ (2e6)^3 cells before coarsening
+    tree = cKDTree(pts)
+    want = [set(b) for b in tree.query_ball_point(pts, r)]
+    k = max(len(s) for s in want)
+    _, idx = grid_radius_neighbors(pts, r=r, k=k + 2)
+    assert neighbor_sets(idx) == want
+
+
 def test_grid_bucket_cap_exact_when_sized():
     """Explicit bucket_cap >= true occupancy stays exact."""
     rng = np.random.default_rng(6)
