@@ -476,6 +476,7 @@ def neighborhood_features(
     t_idx: Optional[jax.Array] = None,
     t_slot: Optional[jax.Array] = None,
     t_w: Optional[jax.Array] = None,
+    query_rows: Optional[jax.Array] = None,
 ):
     """Weighted neighborhood statistics for each query point.
 
@@ -490,6 +491,9 @@ def neighborhood_features(
         min-eigval / trace losses only need eigenvalues).
     :param t_idx, t_slot: optional transpose graph
         (:func:`build_transpose_graph`) enabling the scatter-free backward.
+    :param query_rows: (Mq,) indices of each query row's own position in
+        ``points`` (-1 on padding rows), required by ``scale`` when the
+        query rows are compacted/sharded (Mq != N); ignored otherwise.
     :return: dict with mean, cov, eigvals, trace and optionally eigvecs,
         normals, inc_angles.
     """
@@ -547,16 +551,21 @@ def neighborhood_features(
 
     if scale is not None:
         # Reference update_weights(scale): w *= exp(-(|x - mean| / scale)^2)
-        # with x the *query* point (depth_cloud.py:362-363). With compacted
-        # query rows the query positions are not part of this call's
-        # arguments; the caller must pass the full table (Mq == M).
-        if neighbors.shape[0] != points.shape[0]:
-            raise NotImplementedError(
+        # with x the *query* point (depth_cloud.py:362-363). Compacted or
+        # sharded query rows carry their own position via ``query_rows``
+        # (a (Mq,) gather into the point table); the full-table layout
+        # (Mq == N) reads positions directly.
+        if query_rows is not None:
+            qpts = jnp.take(points, jnp.maximum(query_rows, 0), axis=0)
+        elif neighbors.shape[0] == points.shape[0]:
+            qpts = points
+        else:
+            raise ValueError(
                 "nn_scale needs query positions: got %d query rows over a "
-                "%d-point table (query compaction is disabled for "
-                "nn_scale runs)" % (neighbors.shape[0], points.shape[0])
+                "%d-point table; pass query_rows"
+                % (neighbors.shape[0], points.shape[0])
             )
-        dist2 = jnp.sum((points - mean_T.T) ** 2, axis=-1)  # (M,)
+        dist2 = jnp.sum((qpts - mean_T.T) ** 2, axis=-1)  # (Mq,)
         weights = weights * jnp.exp(-(dist2 / scale**2))[:, None]
         w = weights[None]
         w_sum = jnp.maximum(jnp.sum(weights, axis=-1), 1e-12)

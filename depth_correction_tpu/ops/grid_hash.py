@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["grid_radius_neighbors", "grid_neighbor_counts", "grid_occupancy"]
+__all__ = [
+    "grid_radius_neighbors",
+    "grid_radius_neighbors_sharded",
+    "grid_neighbor_counts",
+    "grid_occupancy",
+]
 
 _QUERY_CHUNK = 32768
 # Below this size the O(N*Q) tiled scan beats the grid's sort/searchsorted
@@ -229,6 +234,90 @@ def grid_radius_neighbors(
     d = jnp.concatenate([o[0] for o in outs])
     idx = jnp.concatenate([o[1] for o in outs])
     nq = (points if query is None else query).shape[0]
+    return d[:nq], idx[:nq]
+
+
+def grid_radius_neighbors_sharded(
+    points: jax.Array,
+    query: Optional[jax.Array] = None,
+    r: float = 1.0,
+    k: int = 32,
+    valid_points: Optional[jax.Array] = None,
+    valid_query: Optional[jax.Array] = None,
+    mesh=None,
+    bucket_cap: Optional[int] = None,
+    cell_size: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`grid_radius_neighbors` with the QUERY axis sharded over a mesh.
+
+    Establishment is the one O(N)-output step of training prep; under
+    shard_map each device searches its 1/D slice of the queries against the
+    replicated grid (the sorted position/id tables are O(N * 3) floats — the
+    (Q, K) outputs, the big tables, are born sharded and never replicate).
+    Results are bitwise identical to the single-device engine.
+
+    :param mesh: 1-D ``jax.sharding.Mesh``; its first axis shards queries.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    assert mesh is not None and len(mesh.axis_names) == 1, mesh
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    grid, width = _build_grid(points, valid_points, r, cell_size, bucket_cap)
+    (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell,
+     cell_starts) = grid
+
+    q = jnp.asarray(points if query is None else query)
+    nq = q.shape[0]
+    if valid_query is None:
+        valid_query = jnp.ones(nq, bool)
+    # Pad so each device holds a whole number of query chunks.
+    pad = (-nq) % (n_dev * _QUERY_CHUNK)
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, 3), q.dtype)])
+        valid_query = jnp.concatenate([valid_query, jnp.zeros(pad, bool)])
+    r2 = jnp.asarray(r, pts_sorted_T.dtype) ** 2
+
+    # Grid tables ride as explicit replicated ARGUMENTS (closure constants
+    # get literal-pooled into the program — see CLAUDE.md).
+    def body(q_s, qv_s, pts_T, val_s, ids_s, ordr, starts):
+        outs = [
+            _grid_query_chunk(
+                q_s[i : i + _QUERY_CHUNK],
+                qv_s[i : i + _QUERY_CHUNK],
+                pts_T,
+                val_s,
+                ids_s,
+                ordr,
+                mins,
+                dims,
+                r2,
+                k,
+                width,
+                cell,
+                starts,
+            )
+            for i in range(0, q_s.shape[0], _QUERY_CHUNK)
+        ]
+        return (
+            jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+        )
+
+    ps = PartitionSpec(axis)
+    pr = PartitionSpec()
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ps, ps, pr, pr, pr, pr, pr),
+        out_specs=(ps, ps),
+        check_vma=False,
+    )
+    qs = jax.device_put(q, NamedSharding(mesh, ps))
+    qvs = jax.device_put(valid_query, NamedSharding(mesh, ps))
+    d, idx = sharded(qs, qvs, pts_sorted_T, valid_sorted, ids_sorted, order,
+                     cell_starts)
     return d[:nq], idx[:nq]
 
 

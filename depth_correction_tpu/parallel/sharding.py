@@ -2,19 +2,25 @@
 
 The reference scales by host multiprocessing (one OS process per experiment,
 lock-file CSVs; reference: src/depth_correction/main.py:140-157, io.py:24-65)
-and has no intra-step parallelism. Here the *step itself* is SPMD:
+and has no intra-step parallelism. Here the *step itself* is SPMD, and the
+layout scales MEMORY with the mesh, not just compute:
 
-- the global-cloud point axis — the natural data axis, since per-point
-  neighborhood features and pointwise losses are independent
-  (reference loss.py:181-213 is embarrassingly parallel) — is sharded
-  across the mesh,
-- each device gathers/reduces features for its point shard against a
-  replicated copy of the (small, O(M * 3)) merged point array,
+- every per-point table is sharded: the scan batches (vps / dirs / depth /
+  incidence angles / masks — the point table's source fields) split along
+  the padded scan-point axis N, and the query-row tables (neighbors /
+  weights / transpose graphs / masks) split along the query axis,
+- each device corrects + poses ITS 1/D slice of every scan; only the
+  (M, 3) xyz position table is transiently ``all_gather``-ed for the
+  neighbor gather (12 B/point over ICI — the stored tables, which cost
+  ~100+ B/point with K=32 neighborhoods, never replicate). The backward of
+  that all_gather is a ``psum_scatter`` of the position cotangents back to
+  the owning shard,
 - the scalar loss is a pair of ``psum``s (masked sum + count), so the
   backward pass's collectives ride the ICI.
 
 This is the moral equivalent of context parallelism for point clouds:
-"sequence length" = points per global cloud, scaling linearly with chips.
+"sequence length" = points per global cloud; both FLOPs and resident bytes
+scale linearly with chips (SURVEY §5's first-class scaling axis).
 """
 from __future__ import annotations
 
@@ -27,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config, PoseCorrection
 from ..ops.features import neighborhood_features
-from ..preproc import global_cloud
 
 __all__ = ["make_mesh", "shard_train_data", "make_sharded_loss_fn"]
 
@@ -77,9 +82,29 @@ def _stacked_shard_transposes(neighbors, weights, num_points: int, n_devices: in
     return jnp.asarray(t_idx_all), jnp.asarray(t_w_all)
 
 
-def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
-    """Place per-point arrays (neighbors/weights/masks) on the mesh, sharded
-    along the point axis; sequence batches are replicated.
+def batch_specs(batch):
+    """PartitionSpec pytree for a :class:`SequenceBatch`: cloud fields split
+    along the padded scan-point axis N (axis 1), the (S, 4, 4) poses and any
+    non-point leaf replicate."""
+    n = batch.cloud.depth.shape[1]
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == n:
+            return P(None, DATA_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map(spec, batch)
+
+
+def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
+                     shard_points: bool = True):
+    """Place the training tables on the mesh, sharded along their point axes.
+
+    With ``shard_points`` (default), the scan batches themselves — the
+    source of the global point table — shard along the padded scan-point
+    axis, so each device holds ~1/D of every per-point array (memory scales
+    with the mesh). ``shard_points=False`` keeps the round-2 layout
+    (replicated batches; compute scales, memory does not).
 
     Point counts are padded to multiples of 512 (preproc.pad_size), which
     divides typical mesh sizes; shard_map requires exact divisibility.
@@ -96,6 +121,14 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
 
     def place(x, sharding):
         return jax.device_put(x, sharding)
+
+    def place_batch(batch):
+        if not shard_points:
+            return jax.tree_util.tree_map(lambda x: place(x, replicated), batch)
+        specs = batch_specs(batch)
+        return jax.tree_util.tree_map(
+            lambda x, s: place(x, NamedSharding(mesh, s)), batch, specs
+        )
 
     import dataclasses
 
@@ -159,7 +192,11 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
 
     return dataclasses.replace(
         data,
-        batches=jax.tree_util.tree_map(lambda x: place(x, replicated), data.batches),
+        batches=tuple(place_batch(b) for b in data.batches),
+        query_rows=tuple(
+            place(q, point_sharded) if q is not None else None
+            for q in (data.query_rows or (None,) * len(data.batches))
+        ),
         neighbors=tuple(
             place_planes(n)
             if n is not None and hasattr(n, "member_idx")
@@ -199,15 +236,43 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True):
     )
 
 
+def _batch_point_sharded(batch) -> bool:
+    """True when the batch's cloud fields were placed split along the
+    scan-point axis (``shard_train_data(..., shard_points=True)``)."""
+    s = getattr(batch.cloud.depth, "sharding", None)
+    return s is not None and not s.is_fully_replicated
+
+
+def _global_points_from_shard(batch, model, delta, points_sharded: bool):
+    """Corrected + posed global positions inside a shard_map body.
+
+    Each device corrects and poses its (S, N/D) slice of every scan — the
+    expensive per-point work is sharded — then all_gathers ONLY the (S, N, 3)
+    xyz table for the neighbor gather (the stored per-point tables stay
+    1/D-resident). The all_gather's transpose is a psum_scatter of the
+    position cotangents back to the owning shard, so gradients stay exact.
+    """
+    from ..preproc import corrected_poses
+
+    cloud = batch.cloud if model is None else model.apply(batch.cloud)
+    poses = corrected_poses(batch.poses, delta)
+    tc = cloud.transform(poses)
+    pts = tc.to_points()  # (S, N[/D], 3)
+    if points_sharded:
+        pts = jax.lax.all_gather(pts, DATA_AXIS, axis=1, tiled=True)
+    return pts.reshape(-1, pts.shape[-1])
+
+
 def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
     """Sharded analogue of ``train.make_loss_fn``.
 
-    Consistency losses: model/pose application is replicated (O(M)
-    elementwise — negligible); the O(M*K) neighborhood gather + covariance +
-    eigendecomposition runs on point shards; the backward uses the analytic
-    moments VJP over per-shard transpose graphs when ``shard_train_data``
-    built them (shard-local partial gradients psum to the exact global
-    gradient); reduction is a psum pair.
+    Consistency losses: each device corrects + poses its 1/D slice of the
+    scan batch, all_gathers the xyz position table, and runs the O(M*K)
+    neighborhood gather + covariance + eigendecomposition on its query-row
+    shard; the backward uses the analytic moments VJP over per-shard
+    transpose graphs when ``shard_train_data`` built them (shard-local
+    partial gradients psum to the exact global gradient); reduction is a
+    psum pair.
 
     ICP loss: correspondences shard along the per-pair point axis; each
     device reduces its slice of the pair sums, one psum per reduction.
@@ -222,14 +287,7 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
 
     if cfg.nn_type == NeighborhoodType.plane:
         return _make_sharded_plane_loss_fn(data, cfg, mesh)
-    if cfg.nn_scale is not None:
-        # Gaussian re-weighting needs every query's own position; the
-        # sharded layout holds M/D query rows against the replicated point
-        # table, so the positions are not alignable without extra plumbing.
-        raise NotImplementedError(
-            "nn_scale (Gaussian neighborhood re-weighting) trains "
-            "single-device only"
-        )
+    with_scale = cfg.nn_scale is not None
     kwargs = dict(cfg.loss_kwargs or {})
     normalization = bool(kwargs.get("normalization", False))
     use_trace = cfg.loss == "trace_loss"
@@ -249,22 +307,21 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         return pw
 
     def seq_loss(params, batch, neighbors, weights, mask, t_idx, t_w,
-                 off_nn=None, off_w=None, off_t=None, off_tw=None):
+                 off_nn=None, off_w=None, off_t=None, off_tw=None,
+                 qr=None, points_sharded=False):
         """Masked (sum, count) of the pointwise loss, psum-reduced."""
         model = params["model"]
         # loss_fn below narrows pose_deltas to a 1-tuple holding this
         # sequence's (or the shared) correction.
         deltas = params.get("pose_deltas")
         delta = deltas[0] if deltas is not None else None
-        # Replicated: correct + pose + merge (full cloud on each device).
-        gcloud = global_cloud(batch, model=model, pose_deltas=delta)
-        points = gcloud.get_points()
+        points = _global_points_from_shard(batch, model, delta, points_sharded)
         # Sharded: features of my point shard only; the analytic backward
         # rides this shard's transpose graph (scatter-free), and shard_map's
         # replicated-input transpose psums the partial point gradients.
         feats = neighborhood_features(
             points, neighbors, weights, scale=cfg.nn_scale,
-            compute_normals=False, t_idx=t_idx, t_w=t_w,
+            compute_normals=False, t_idx=t_idx, t_w=t_w, query_rows=qr,
         )
         pointwise = _pointwise_of(feats)
 
@@ -289,13 +346,14 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         # Dynamic loss offset under the current model (local neighborhoods
         # sharded like the global ones; reference: preproc.py:67-77).
         if off_nn is not None:
-            from ..preproc import flatten_batch
-
             local = model.apply(batch.cloud) if model is not None else batch.cloud
-            lpts = flatten_batch(local).get_points()
+            lpts = local.to_points()  # (S, N[/D], 3)
+            if points_sharded:
+                lpts = jax.lax.all_gather(lpts, DATA_AXIS, axis=1, tiled=True)
+            lpts = lpts.reshape(-1, lpts.shape[-1])
             off_feats = neighborhood_features(
                 lpts, off_nn, off_w, scale=cfg.nn_scale,
-                compute_normals=False, t_idx=off_t, t_w=off_tw,
+                compute_normals=False, t_idx=off_t, t_w=off_tw, query_rows=qr,
             )
             pointwise = pointwise - _pointwise_of(off_feats)
 
@@ -308,29 +366,34 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
 
     _cache = {}
 
-    def _sharded(with_t: bool, with_off: bool):
+    def _sharded(with_t: bool, with_off: bool, with_qr: bool, ps: bool, batch):
         """shard_map wrapper per arg combination (specs must match arity)."""
-        key = (with_t, with_off)
+        key = (with_t, with_off, with_qr, ps,
+               jax.tree_util.tree_structure(batch))
         if key in _cache:
             return _cache[key]
-        specs = [P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)]
+        bspec = batch_specs(batch) if ps else P()
+        specs = [P(), bspec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)]
         if with_t:
             specs += [P(DATA_AXIS), P(DATA_AXIS)]
         if with_off:
             specs += [P(DATA_AXIS)] * 4
+        if with_qr:
+            specs += [P(DATA_AXIS)]
 
-        if with_t and with_off:
-            body = seq_loss
-        elif with_t:
-            def body(params, batch, nn, w, mask, t_idx, t_w):
-                return seq_loss(params, batch, nn, w, mask, t_idx, t_w)
-        elif with_off:
-            def body(params, batch, nn, w, mask, onn, ow, ot, otw):
-                return seq_loss(params, batch, nn, w, mask, None, None,
-                                onn, ow, ot, otw)
-        else:
-            def body(params, batch, nn, w, mask):
-                return seq_loss(params, batch, nn, w, mask, None, None)
+        def body(params, batch, nn, w, mask, *rest):
+            j = 0
+            t_i = t_w_ = None
+            if with_t:
+                t_i, t_w_ = rest[0], rest[1]
+                j = 2
+            off = (None, None, None, None)
+            if with_off:
+                off = rest[j : j + 4]
+                j += 4
+            qr = rest[j] if with_qr else None
+            return seq_loss(params, batch, nn, w, mask, t_i, t_w_, *off,
+                            qr=qr, points_sharded=ps)
 
         fn = jax.shard_map(
             body,
@@ -343,6 +406,7 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         return fn
 
     bound_data = data
+    ps_flags = tuple(_batch_point_sharded(b) for b in data.batches)
 
     def loss_fn(params, data=None):
         if data is None:
@@ -360,19 +424,30 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
             t_idx = data.t_neighbors[i] if data.t_neighbors else None
             t_w = data.t_weights[i] if data.t_weights else None
             # Sharded transposes are plain stacked arrays; a BucketedTranspose
-            # here means the data was not prepared by shard_train_data.
+            # here means the data was not prepared by shard_train_data. The
+            # Gaussian re-weighting (nn_scale) recomputes weights in-step, so
+            # the frozen-weight analytic backward does not apply.
             with_t = (
-                t_idx is not None and t_w is not None and not hasattr(t_idx, "idx")
+                not with_scale
+                and t_idx is not None
+                and t_w is not None
+                and not hasattr(t_idx, "idx")
             )
             onn = data.off_neighbors[i] if data.off_neighbors else None
             ot = data.off_transpose[i] if data.off_transpose else None
             with_off = onn is not None and isinstance(ot, tuple)
+            qr = data.query_rows[i] if (with_scale and data.query_rows) else None
+            # Placement is a property of the BOUND data (decided at
+            # make_sharded_loss_fn time — inside jit the leaves are tracers).
+            ps = ps_flags[i]
             args = [p, batch, data.neighbors[i], data.weights[i], data.masks[i]]
             if with_t:
                 args += [t_idx, t_w]
             if with_off:
                 args += [onn, data.off_weights[i], ot[0], ot[1]]
-            s, c = _sharded(with_t, with_off)(*args)
+            if qr is not None:
+                args += [qr]
+            s, c = _sharded(with_t, with_off, qr is not None, ps, batch)(*args)
             total = total + s
             count = count + c
         return total / jnp.maximum(count, 1)
@@ -399,16 +474,25 @@ def _make_sharded_plane_loss_fn(data, cfg: Config, mesh: Mesh):
     sqrt = bool(kwargs.get("sqrt", False))
     mode = cfg.pose_correction
 
-    def seq_loss(params, batch, plane_params, member_idx, member_w, valid):
+    def seq_loss(params, batch, plane_params, member_idx, member_w, valid,
+                 points_sharded=False):
+        from ..preproc import corrected_poses
+
         model = params["model"]
         deltas = params.get("pose_deltas")
         delta = deltas[0] if deltas is not None else None
-        gcloud = global_cloud(batch, model=None, pose_deltas=delta)
+        poses = corrected_poses(batch.poses, delta)
+        tc = batch.cloud.transform(poses)
 
-        idx = member_idx  # (P, S/D)
-        vps = gather_neighbors(gcloud.vps, idx)
-        dirs = gather_neighbors(gcloud.dirs, idx)
-        depth = gather_neighbors(gcloud.depth, idx)
+        def full(x):  # (S, N[/D], ...) -> (S*N, ...)
+            if points_sharded:
+                x = jax.lax.all_gather(x, DATA_AXIS, axis=1, tiled=True)
+            return x.reshape((-1,) + x.shape[2:])
+
+        idx = member_idx  # (P, S_support/D)
+        vps = gather_neighbors(full(tc.vps), idx)
+        dirs = gather_neighbors(full(tc.dirs), idx)
+        depth = gather_neighbors(full(tc.depth), idx)
         normals = plane_params[:, None, :3]
         cos = jnp.sum(dirs * normals, axis=-1)
         inc = jnp.arccos(jnp.clip(jnp.abs(cos), 0.0, 1.0))
@@ -438,15 +522,29 @@ def _make_sharded_plane_loss_fn(data, cfg: Config, mesh: Mesh):
         # Plane axis is replicated after the psums: plain masked sums.
         return jnp.sum(jnp.where(valid, pw, 0.0)), jnp.sum(valid)
 
-    sharded = jax.shard_map(
-        seq_loss,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    _cache = {}
+
+    def _sharded(ps: bool, batch):
+        key = (ps, jax.tree_util.tree_structure(batch))
+        if key not in _cache:
+            bspec = batch_specs(batch) if ps else P()
+
+            def body(params, batch, plane_params, member_idx, member_w, valid):
+                return seq_loss(params, batch, plane_params, member_idx,
+                                member_w, valid, points_sharded=ps)
+
+            _cache[key] = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), bspec, P(), P(None, DATA_AXIS),
+                          P(None, DATA_AXIS), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        return _cache[key]
 
     bound_data = data
+    ps_flags = tuple(_batch_point_sharded(b) for b in data.batches)
 
     def loss_fn(params, data=None):
         if data is None:
@@ -462,7 +560,7 @@ def _make_sharded_plane_loss_fn(data, cfg: Config, mesh: Mesh):
             ):
                 p["pose_deltas"] = (deltas[i],)
             planes = data.neighbors[i]
-            s, c = sharded(
+            s, c = _sharded(ps_flags[i], batch)(
                 p, batch, planes.params, planes.member_idx,
                 planes.member_weights, planes.valid,
             )
@@ -489,28 +587,44 @@ def _make_sharded_icp_loss_fn(data, cfg: Config, mesh: Mesh):
     mode = cfg.pose_correction
     n_dev = int(np.prod(mesh.devices.shape))
 
-    def seq_loss(params, batch, idx, w):
+    def seq_loss(params, batch, idx, w, points_sharded=False):
         model = params["model"]
         deltas = params.get("pose_deltas")
         delta = deltas[0] if deltas is not None else None
         cloud = model.apply(batch.cloud) if model is not None else batch.cloud
         poses = corrected_poses(batch.poses, delta)
         tc = cloud.transform(poses)
-        points = tc.to_points()  # (S, N, 3) replicated
-        normals = tc.normals
+        pts_local = tc.to_points()  # (S, N[/D], 3)
+        nrm_local = tc.normals
 
-        # My slice of the source rows; targets gather from the full scans.
-        n = points.shape[1]
-        shard = n // n_dev
-        start = jax.lax.axis_index(DATA_AXIS) * shard
-        p1 = jax.lax.dynamic_slice_in_dim(points[:-1], start, shard, axis=1)
+        # My slice of the source rows; targets gather from the FULL scans
+        # (xyz/normal tables all_gather transiently when the batch shards).
+        if points_sharded:
+            points = jax.lax.all_gather(pts_local, DATA_AXIS, axis=1, tiled=True)
+            p1 = pts_local[:-1]
+            n1 = nrm_local[:-1] if nrm_local is not None else None
+            normals = (
+                jax.lax.all_gather(nrm_local, DATA_AXIS, axis=1, tiled=True)
+                if (p2plane and nrm_local is not None)
+                else nrm_local
+            )
+        else:
+            points = pts_local
+            normals = nrm_local
+            n = points.shape[1]
+            shard = n // n_dev
+            start = jax.lax.axis_index(DATA_AXIS) * shard
+            p1 = jax.lax.dynamic_slice_in_dim(points[:-1], start, shard, axis=1)
+            if p2plane:
+                n1 = jax.lax.dynamic_slice_in_dim(
+                    normals[:-1], start, shard, axis=1
+                )
         gi = jnp.maximum(idx, 0)[..., None]
         q2 = jnp.take_along_axis(points[1:], gi, axis=1)  # (P, shard, 3)
         wf = w.astype(points.dtype)
         w_sum = jax.lax.psum(jnp.sum(wf, axis=-1), DATA_AXIS)
         w_sum = jnp.maximum(w_sum, 1.0)
         if p2plane:
-            n1 = jax.lax.dynamic_slice_in_dim(normals[:-1], start, shard, axis=1)
             n2 = jnp.take_along_axis(normals[1:], gi, axis=1)
             d12 = jax.lax.psum(
                 jnp.sum(jnp.abs(jnp.sum(n1 * (q2 - p1), -1)) * wf, -1), DATA_AXIS
@@ -524,15 +638,27 @@ def _make_sharded_icp_loss_fn(data, cfg: Config, mesh: Mesh):
             pair = jax.lax.psum(jnp.sum(d * wf, -1), DATA_AXIS) / w_sum
         return jnp.mean(pair)
 
-    sharded_seq_loss = jax.shard_map(
-        seq_loss,
-        mesh=mesh,
-        in_specs=(P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
-        out_specs=P(),
-        check_vma=False,
-    )
+    _cache = {}
+
+    def _sharded(ps: bool, batch):
+        key = (ps, jax.tree_util.tree_structure(batch))
+        if key not in _cache:
+            bspec = batch_specs(batch) if ps else P()
+
+            def body(params, batch, idx, w):
+                return seq_loss(params, batch, idx, w, points_sharded=ps)
+
+            _cache[key] = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), bspec, P(None, DATA_AXIS), P(None, DATA_AXIS)),
+                out_specs=P(),
+                check_vma=False,
+            )
+        return _cache[key]
 
     bound_data = data
+    ps_flags = tuple(_batch_point_sharded(b) for b in data.batches)
 
     def loss_fn(params, data=None):
         if data is None:
@@ -546,7 +672,9 @@ def _make_sharded_icp_loss_fn(data, cfg: Config, mesh: Mesh):
                 PoseCorrection.pose,
             ):
                 p["pose_deltas"] = (deltas[i],)
-            total = total + sharded_seq_loss(p, batch, data.icp_idx[i], data.icp_w[i])
+            total = total + _sharded(ps_flags[i], batch)(
+                p, batch, data.icp_idx[i], data.icp_w[i]
+            )
         return total / max(len(data.batches), 1)
 
     return loss_fn

@@ -400,11 +400,15 @@ def symmetrize_neighbors(neighbors) -> jnp.ndarray:
 
 
 def establish_neighborhoods(
-    gcloud: Cloud, cfg: Config, k_max: Optional[int] = None
+    gcloud: Cloud, cfg: Config, k_max: Optional[int] = None, mesh=None
 ):
     """Frozen neighborhoods of the global cloud (reference: preproc.py:168-191,
     ball type). Computed once per training run; the hot loop only re-gathers.
 
+    :param mesh: optional 1-D ``jax.sharding.Mesh``; radius establishment
+        then runs under shard_map with the query axis split across devices,
+        so the (M, K) output tables are born sharded (the memory-scaling
+        path for establishment; the grid tables themselves are O(M*3)).
     :return: (neighbors (M, K) int32, weights (M, K) float).
     """
     if cfg.nn_type == NeighborhoodType.plane:
@@ -441,9 +445,17 @@ def establish_neighborhoods(
         k = k_max or cfg.nn_max_neighbors or suggest_k_max(
             points, r=cfg.nn_r, valid_points=gcloud.valid
         )
-        _, idx = _device_radius_neighbors(
-            points, cfg.nn_r, k, gcloud.valid, backend=cfg.nn_backend
-        )
+        if mesh is not None:
+            from .ops.grid_hash import grid_radius_neighbors_sharded
+
+            _, idx = grid_radius_neighbors_sharded(
+                points, r=cfg.nn_r, k=int(k), valid_points=gcloud.valid,
+                valid_query=gcloud.valid, mesh=mesh,
+            )
+        else:
+            _, idx = _device_radius_neighbors(
+                points, cfg.nn_r, k, gcloud.valid, backend=cfg.nn_backend
+            )
         weights = None
     if capped and getattr(cfg, "nn_symmetrize", True):
         # Truncated lists are one-sided; mutual trimming keeps the transpose

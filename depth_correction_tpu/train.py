@@ -72,6 +72,11 @@ class TrainData:
     neighbors: tuple  # tuple[(M, K) int32]
     weights: tuple  # tuple[(M, K) float]
     masks: tuple  # tuple[(M,) bool] trainable-region masks
+    # Compacted query rows' own position in the global point table ((Mq,)
+    # int32, -1 on padding) — consumed by the Gaussian re-weighting
+    # (nn_scale), whose weights depend on the QUERY point's position
+    # (reference: depth_cloud.py:362-363).
+    query_rows: tuple = ()
     # Transpose neighbor graphs for the scatter-free gather backward:
     # t_neighbors[i] is a BucketedTranspose (t_slots/t_weights stay None),
     # or the legacy flat (t_idx, t_slot, t_w) triple; None disables.
@@ -106,6 +111,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     neighbors = []
     weights = []
     masks = []
+    query_rows = []
     t_neighbors = []
     t_slots = []
     t_weights = []
@@ -191,6 +197,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             neighbors.append(None)
             weights.append(None)
             masks.append(None)
+            query_rows.append(None)
             t_neighbors.append(None)
             t_slots.append(None)
             t_weights.append(None)
@@ -208,6 +215,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             neighbors.append(planes)
             weights.append(None)
             masks.append(planes.valid)
+            query_rows.append(None)
             t_neighbors.append(None)
             t_slots.append(None)
             t_weights.append(None)
@@ -232,25 +240,19 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         from .preproc import pad_size
 
         m_total = int(np.asarray(gmask).shape[0])
-        if cfg.nn_scale is not None:
-            # Gaussian re-weighting needs the query POSITIONS (reference
-            # depth_cloud.py:362-363 uses the query point) — keep full rows
-            # so the feature op's query axis aligns with the point table.
-            qrows = np.arange(m_total, dtype=np.int64)
-            nn_np = np.asarray(nn)
-            w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
-            masks.append(jnp.asarray(np.asarray(gmask)))
-        else:
-            rows = np.flatnonzero(np.asarray(gmask))
-            mq = pad_size(max(len(rows), 1))
-            qrows = np.full(mq, -1, np.int64)
-            qrows[: len(rows)] = rows
-            nn_np = np.asarray(nn)[np.maximum(qrows, 0)]
-            nn_np[qrows < 0] = -1
-            w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
-            masks.append(jnp.asarray(qrows >= 0))
+        rows = np.flatnonzero(np.asarray(gmask))
+        mq = pad_size(max(len(rows), 1))
+        qrows = np.full(mq, -1, np.int64)
+        qrows[: len(rows)] = rows
+        nn_np = np.asarray(nn)[np.maximum(qrows, 0)]
+        nn_np[qrows < 0] = -1
+        w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
+        masks.append(jnp.asarray(qrows >= 0))
         neighbors.append(jnp.asarray(nn_np, jnp.int32))
         weights.append(jnp.asarray(w_np))
+        # Query positions for the Gaussian re-weighting (nn_scale) ride a
+        # (Mq,) row -> point-table gather (reference: depth_cloud.py:362-363).
+        query_rows.append(jnp.asarray(qrows, jnp.int32))
 
         # Dynamic loss offset (reference: preproc.py:67-77, loss.py:279-281):
         # carry the frozen LOCAL (per-scan) neighborhoods of the query rows so
@@ -280,20 +282,26 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
 
         if cfg.nn_scale is not None:
             # The Gaussian-reweighted path recomputes weights in-step, so
-            # the frozen-weight analytic backward (and its transpose graph)
-            # does not apply — don't build/carry it.
-            t_neighbors.append(None)
+            # the frozen-weight analytic moments backward does not apply;
+            # carry the PAIR-level transpose instead, which makes the
+            # neighbor-gather backward scatter-free (weights re-fold in-step).
+            from .ops.features import build_transpose_graph
+
+            t_idx, t_slot = build_transpose_graph(nn_np, num_points=m_total)
+            t_neighbors.append(t_idx)
+            t_slots.append(t_slot)
         else:
             t_neighbors.append(
                 build_bucketed_transpose(nn_np, num_points=m_total, weights=w_np)
             )
-        t_slots.append(None)
+            t_slots.append(None)
         t_weights.append(None)
     return TrainData(
         batches=tuple(batches),
         neighbors=tuple(neighbors),
         weights=tuple(weights),
         masks=tuple(masks),
+        query_rows=tuple(query_rows),
         t_neighbors=tuple(t_neighbors),
         t_slots=tuple(t_slots),
         t_weights=tuple(t_weights),
@@ -421,7 +429,7 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
 
         return icp_loss_fn
 
-    def _local_offset(model, batch, onn, ow, otg):
+    def _local_offset(model, batch, onn, ow, otg, qr=None):
         """Pointwise local-cloud loss under the CURRENT model — the dynamic
         loss offset (reference: preproc.py:67-77: offset clouds are the
         model-corrected local clouds; the loss subtracts their pointwise
@@ -432,7 +440,8 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
         local = model.apply(batch.cloud) if model is not None else batch.cloud
         pts = flatten_batch(local).get_points()
         f = neighborhood_features(
-            pts, onn, ow, scale=cfg.nn_scale, compute_normals=False, t_idx=otg
+            pts, onn, ow, scale=cfg.nn_scale, compute_normals=False,
+            t_idx=otg, query_rows=qr,
         )
         if cfg.loss == "trace_loss":
             return f["trace"]
@@ -468,10 +477,11 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
                 t_w = data.t_weights[i] if data.t_weights else None
                 # Features over the compacted query rows only (fewer rows
                 # than the global cloud; the gather table is the full cloud).
+                qr = data.query_rows[i] if data.query_rows else None
                 f = neighborhood_features(
                     gcloud.get_points(), data.neighbors[i], data.weights[i],
                     scale=cfg.nn_scale, compute_normals=False,
-                    t_idx=t_nn, t_slot=t_sl, t_w=t_w,
+                    t_idx=t_nn, t_slot=t_sl, t_w=t_w, query_rows=qr,
                 )
                 feat = FeatureRows(
                     eigvals=f["eigvals"],
@@ -484,7 +494,9 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
             if onn is not None:
                 dyn_offsets.append(
                     _local_offset(
-                        model, batch, onn, data.off_weights[i], data.off_transpose[i]
+                        model, batch, onn, data.off_weights[i],
+                        data.off_transpose[i],
+                        qr=data.query_rows[i] if data.query_rows else None,
                     )
                 )
             else:

@@ -230,6 +230,99 @@ def test_sharded_plane_mode_matches_single_device():
         )
 
 
+def test_point_table_sharded_placement():
+    """Memory scaling: the scan batch (point table source), the query-row
+    tables, and the transpose graphs are SPLIT across the mesh — each device
+    holds ~1/D rows; nothing big replicates."""
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn
+
+    cfg, data, model = _setup()
+    mesh = make_mesh(8)
+    sharded = shard_train_data(data, mesh)
+
+    depth = sharded.batches[0].cloud.depth  # (S, N)
+    assert not depth.sharding.is_fully_replicated
+    assert depth.addressable_shards[0].data.shape[1] * 8 == depth.shape[1]
+    vps = sharded.batches[0].cloud.vps  # (S, N, 3)
+    assert vps.addressable_shards[0].data.shape[1] * 8 == vps.shape[1]
+    assert sharded.batches[0].poses.sharding.is_fully_replicated
+    nn = sharded.neighbors[0]
+    assert nn.addressable_shards[0].data.shape[0] * 8 == nn.shape[0]
+
+    # Parity against the single-device path with the point table sharded.
+    params = {"model": ScaledPolynomial(w=jnp.asarray([-0.001]),
+                                        exponent=jnp.asarray([4.0]))}
+    ref = float(make_loss_fn(data, cfg)(params))
+    got = float(jax.jit(make_sharded_loss_fn(sharded, cfg, mesh))(params))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    # Replicated-batch legacy layout still works (compute-only scaling).
+    legacy = shard_train_data(data, mesh, shard_points=False)
+    assert legacy.batches[0].cloud.depth.sharding.is_fully_replicated
+    got2 = float(jax.jit(make_sharded_loss_fn(legacy, cfg, mesh))(params))
+    np.testing.assert_allclose(got2, ref, rtol=1e-6)
+
+
+def test_sharded_nn_scale_matches_single_device():
+    """Gaussian re-weighting (nn_scale) trains compacted AND sharded: the
+    sharded value/grad match the single-device compacted path."""
+    import __graft_entry__ as ge
+
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+    from depth_correction_tpu.datasets import create_dataset
+
+    cfg, _, _ = ge._tiny_setup({"nn_scale": 0.3})
+    ds = create_dataset(cfg.train_names[0], cfg)
+    data = prepare_sequences([ds], cfg)
+    assert data.query_rows[0] is not None
+    mesh = make_mesh(8)
+    sharded = shard_train_data(data, mesh)
+
+    def single(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_loss_fn(data, cfg)(p)
+
+    def multi(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_sharded_loss_fn(sharded, cfg, mesh)(p)
+
+    w0 = jnp.asarray([-0.001])
+    v_ref, g_ref = jax.value_and_grad(single)(w0)
+    v_got, g_got = jax.jit(jax.value_and_grad(multi))(w0)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_sharded_grid_establishment_matches_single_device():
+    """Radius establishment under shard_map: identical neighbor sets, and
+    the (Q, K) output tables are born sharded across the mesh."""
+    from depth_correction_tpu.ops.grid_hash import (
+        grid_radius_neighbors,
+        grid_radius_neighbors_sharded,
+    )
+    from depth_correction_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(-4, 4, (3000, 3)).astype(np.float32)
+    r, k = 0.3, 24
+    d1, i1 = grid_radius_neighbors(pts, r=r, k=k)
+    mesh = make_mesh(8)
+    d8, i8 = grid_radius_neighbors_sharded(pts, r=r, k=k, mesh=mesh)
+    sets1 = [set(int(j) for j in row if j >= 0) for row in np.asarray(i1)]
+    sets8 = [set(int(j) for j in row if j >= 0) for row in np.asarray(i8)]
+    assert sets1 == sets8
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 

@@ -54,8 +54,38 @@ def test_icp_correspondences_empty_scan():
     assert w2[0].any()
 
 
+def test_nn_scale_query_rows_match_full_table():
+    """Compacted query rows + query_rows reproduce the full-table Gaussian
+    re-weighting exactly (the query's own position drives the weights,
+    reference depth_cloud.py:362-363)."""
+    from depth_correction_tpu.ops.features import neighborhood_features
+    from depth_correction_tpu.ops.knn import radius_neighbors
+
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-1, 1, (400, 3)))
+    _, nn = radius_neighbors(pts, r=0.5, k=24)
+    w = (nn >= 0).astype(pts.dtype)
+
+    full = neighborhood_features(pts, nn, w, scale=0.3, compute_normals=False)
+
+    rows = np.arange(0, 400, 3)
+    qr = jnp.asarray(rows, jnp.int32)
+    sub = neighborhood_features(
+        pts, nn[rows], w[rows], scale=0.3, compute_normals=False,
+        query_rows=qr,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub["eigvals"]), np.asarray(full["eigvals"])[rows],
+        rtol=1e-6, atol=1e-12,
+    )
+
+    with pytest.raises(ValueError):
+        neighborhood_features(pts, nn[rows], w[rows], scale=0.3,
+                              compute_normals=False)
+
+
 def test_nn_scale_training_path():
-    """cfg.nn_scale runs end to end (query compaction disabled); the
+    """cfg.nn_scale runs end to end (now with query compaction); the
     Gaussian re-weighting changes the loss."""
     from depth_correction_tpu.datasets import create_dataset
     from depth_correction_tpu.models import ScaledPolynomial
