@@ -52,9 +52,11 @@ def build_workload():
     """Synthetic multi-view sequence at ASL-laser-like scale after
     preprocessing: ~25k points/scan x 6 scans, r = 0.25 m neighborhoods.
 
-    Preprocessing (one-time, not the measured quantity) runs on the host
-    CPU backend with the scipy KD-tree, exactly like the reference's prep;
-    only the hot training step runs on the TPU.
+    Preprocessing (one-time, not the measured quantity) dogfoods the
+    framework's own scalable path: neighborhood establishment runs the
+    on-device grid-hash engine (ops/grid_hash.py) — the same engine
+    production prep uses — instead of bouncing to a host KD-tree (which
+    cost ~70 s of host time for the same graph).
     """
     import jax
 
@@ -63,7 +65,7 @@ def build_workload():
     from depth_correction_tpu.train import prepare_sequences
 
     cfg = Config()
-    cfg.nn_backend = "scipy"
+    cfg.nn_backend = "grid"
     cfg.float_type = "float32"
     cfg.dataset = "open_box"
     cfg.train_names = ["open_box/n_6_size_20_20_5_height_1_density_400"]
@@ -81,17 +83,15 @@ def build_workload():
 
     ds = create_dataset(cfg.train_names[0], cfg)
     print("[bench] dataset ready (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
-    cpu = jax.devices("cpu")[0]
-    print("[bench] backends up (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
-    with jax.default_device(cpu):
-        data = prepare_sequences([ds], cfg)
-        # Full-cloud neighbor matrix for the reference-semantics baseline
-        # (the reference computes features for every point each iteration;
-        # prepare_sequences compacts to the loss rows for OUR step).
-        from depth_correction_tpu.preproc import establish_neighborhoods, global_cloud
+    print("[bench] prep device: %s" % jax.devices()[0], file=sys.stderr)
+    data = prepare_sequences([ds], cfg)
+    # Full-cloud neighbor matrix for the reference-semantics baseline
+    # (the reference computes features for every point each iteration;
+    # prepare_sequences compacts to the loss rows for OUR step).
+    from depth_correction_tpu.preproc import establish_neighborhoods, global_cloud
 
-        gcloud = global_cloud(data.batches[0])
-        full_nn, _ = establish_neighborhoods(gcloud, cfg)
+    gcloud = global_cloud(data.batches[0])
+    full_nn, _ = establish_neighborhoods(gcloud, cfg)
     print("[bench] sequences prepared (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
     return cfg, data, full_nn
 

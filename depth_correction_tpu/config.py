@@ -67,7 +67,14 @@ class SLAM(metaclass=ValueEnum):
 
 
 class PoseProvider(metaclass=ValueEnum):
+    """Pose sources for training/eval (reference: config.py:76-93): ground
+    truth, or SLAM-estimated poses read back from ``slam_poses_<provider>``
+    CSVs produced by ``eval_slam_baselines``. The in-framework pipelines
+    (icp_mapper / icp_odometry) play the norlab mapper's role here."""
+
     ground_truth = "ground_truth"
+    icp_mapper = "icp_mapper"
+    icp_odometry = "icp_odometry"
     norlab_icp_mapper = "norlab_icp_mapper"
 
 
@@ -223,6 +230,14 @@ class Config(Configurable):
         self.optimizer_kwargs = {}
         self.lr = 2e-4
 
+        # External-SLAM parity runs (cfg.slam == norlab_icp_mapper): command
+        # template launched per sequence with the exported corrected clouds;
+        # ``{input_dir}`` = npz export directory (one file per scan:
+        # points/normals/mask/prior pose), ``{poses_csv}`` = path where the
+        # mapper must write its estimated poses (robot_data CSV schema).
+        # The reference drives roslaunch the same way (eval.py:234-259).
+        self.slam_command = None
+
         self.pose_correction = PoseCorrection.none
         self.train_pose_deltas = None
         self.test_pose_deltas = None
@@ -234,6 +249,12 @@ class Config(Configurable):
         # In-framework pipelines only by default; the external
         # norlab mapper needs the export harness + its own binary.
         self.eval_slams = [SLAM.icp_mapper]
+        # PoseProvider grid axis for train_and_eval_all (reference
+        # main.py:249-250 iterates the whole enum): non-ground-truth
+        # providers read slam_poses_<provider>.csv files written by
+        # eval_slam_baselines under <preproc_dir>/<name>/ and switch
+        # pose_correction to per-pose (main.py:288-293).
+        self.eval_pose_providers = [PoseProvider.ground_truth]
 
         self.log_filters = False
         self.show_results = False

@@ -20,6 +20,7 @@ from .wrappers import (
     FilteredDataset,
     NoisyDepthDataset,
     NoisyPoseDataset,
+    OverridePosesDataset,
     Subscriptable,
 )
 
@@ -32,6 +33,7 @@ __all__ = [
     "NoisyDepthDataset",
     "NoisyPoseDataset",
     "OpenBoxDataset",
+    "OverridePosesDataset",
     "PlaneDataset",
     "Subscriptable",
     "box_point_cloud",
@@ -109,11 +111,14 @@ def noisy_dataset(ds, cfg):
     return ds
 
 
-def create_dataset(name: str, cfg, noisy: bool = True, **kwargs):
-    """Dataset factory: base -> filtered -> corrupted -> sliced
-    (reference: dataset.py:953-962)."""
+def create_dataset(name: str, cfg, noisy: bool = True, poses_path=None, **kwargs):
+    """Dataset factory: base -> poses override -> filtered -> corrupted ->
+    sliced (reference: dataset.py:953-962; train.py:68-82 threads the
+    per-sequence ``poses_path`` for the PoseProvider axis)."""
     cls = dataset_by_name(name)
     ds = cls(name, *list(cfg.dataset_args or []), **dict(cfg.dataset_kwargs or {}), **kwargs)
+    if poses_path:
+        ds = OverridePosesDataset(ds, poses_path)
     ds = FilteredDataset(ds, cfg)
     if noisy:
         ds = noisy_dataset(ds, cfg)

@@ -20,6 +20,7 @@ __all__ = [
     "NoisyPoseDataset",
     "NoisyDepthDataset",
     "DepthBiasDataset",
+    "OverridePosesDataset",
     "Subscriptable",
 ]
 
@@ -79,6 +80,41 @@ class TransformingDataset(Forwarding):
 
     def cloud_pose(self, id):
         return self.transform_pose(self.target.cloud_pose(id))
+
+
+class OverridePosesDataset(TransformingDataset):
+    """Replace the dataset's poses with ones read from a CSV file — the
+    PoseProvider axis: training from SLAM-estimated (rather than ground
+    truth) poses (reference: main.py:288-293 sets *_poses_path from
+    ``slam_poses_<provider>.csv``; dataset.py:533-571 loads them).
+
+    The CSV uses the reference robot_data schema (``poseId, timestamp,
+    T00..T33``; scripts/robot_data:196-204), as written by
+    ``slam_eval.eval_slam`` and read by ``asl_laser.read_poses``.
+    """
+
+    def __init__(self, dataset, poses_path: str):
+        from .asl_laser import read_poses
+
+        super().__init__(dataset)
+        self.poses_path = poses_path
+        _, poses = read_poses(poses_path)
+        n = len(dataset)
+        if len(poses) < n:
+            raise ValueError(
+                "poses file %s holds %d poses for %d scans"
+                % (poses_path, len(poses), n)
+            )
+        self.poses = [np.asarray(p, np.float64) for p in poses[:n]]
+
+    def transform_pose(self, pose, item=None):
+        if item is None:
+            return pose
+        return self.poses[int(item)]
+
+    def cloud_pose(self, id):
+        ids = list(self.target.ids)
+        return self.poses[ids.index(id)]
 
 
 class FilteredDataset(TransformingDataset):

@@ -24,7 +24,8 @@ from .models import load_model
 from .train import TrainData, init_pose_deltas, make_loss_fn, prepare_sequences
 from .utils.io import append
 
-__all__ = ["eval_loss", "eval_loss_all", "eval_icp", "initialize_pose_corrections"]
+__all__ = ["eval_loss", "eval_loss_all", "eval_slam_all", "eval_icp",
+           "initialize_pose_corrections"]
 
 
 def initialize_pose_corrections(data: TrainData, cfg: Config):
@@ -52,7 +53,13 @@ def eval_loss(
         test_names = [str(ds) for ds in test_datasets]
     else:
         test_names = list(cfg.test_names or [])
-        test_datasets = [create_dataset(name, cfg) for name in test_names]
+        test_datasets = [
+            create_dataset(
+                name, cfg,
+                poses_path=cfg.test_poses_path[i] if cfg.test_poses_path else None,
+            )
+            for i, name in enumerate(test_names)
+        ]
     if not test_datasets:
         raise ValueError("No test data: set cfg.test_names or pass test_datasets.")
 
@@ -117,6 +124,33 @@ def eval_loss_all(cfg: Config):
     return results
 
 
+def eval_slam_all(cfg: Config):
+    """Evaluate every configured SLAM pipeline on train/val/test subsets
+    with ground-truth pose priors (reference: eval.py:266-290): per (subset,
+    slam) pair, run ``slam_eval.eval_slam`` and append
+    ``slam_eval_<slam>_<subset>.csv`` with the reference schema."""
+    from .config import slam_eval_csv
+    from .slam_eval import eval_slam
+
+    results = {}
+    for names, suffix in zip(
+        [cfg.train_names, cfg.val_names, cfg.test_names], ["train", "val", "test"]
+    ):
+        if not names:
+            continue
+        for slam in cfg.eval_slams:
+            eval_cfg = cfg.copy()
+            eval_cfg.test_names = list(names)
+            eval_cfg.train_poses_path = []
+            eval_cfg.val_poses_path = []
+            eval_cfg.test_poses_path = []
+            eval_cfg.slam = slam
+            eval_cfg.slam_eval_csv = slam_eval_csv(cfg.log_dir, slam, suffix)
+            eval_cfg.slam_poses_csv = ""
+            results[(suffix, slam)] = eval_slam(eval_cfg)
+    return results
+
+
 def eval_icp(cfg: Config, test_datasets: Optional[Sequence] = None):
     """ICP point-to-plane/point loss on test sequences with ground-truth
     poses — the consistency metric over consecutive scan pairs
@@ -126,7 +160,13 @@ def eval_icp(cfg: Config, test_datasets: Optional[Sequence] = None):
     from .preproc import local_feature_cloud
 
     if not test_datasets:
-        test_datasets = [create_dataset(n, cfg) for n in (cfg.test_names or [])]
+        test_datasets = [
+            create_dataset(
+                n, cfg,
+                poses_path=cfg.test_poses_path[i] if cfg.test_poses_path else None,
+            )
+            for i, n in enumerate(cfg.test_names or [])
+        ]
     model = load_model(cfg=cfg)
     seqs = []
     poses_all = []

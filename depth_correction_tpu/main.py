@@ -5,15 +5,21 @@ main.py:44-500):
 
     python -m depth_correction_tpu.main [--key value ...] -- <verb>
 
-Verbs: ``print_config``, ``train``, ``eval_loss``, ``train_and_eval``,
-``train_and_eval_all``, ``eval_loss_baselines``, ``bench``.
+Verbs: ``print_config``, ``train``, ``eval_loss``, ``eval_loss_all``,
+``eval_slam``, ``eval_slam_all``, ``eval_all``, ``train_and_eval``,
+``train_and_eval_all``, ``eval_loss_baselines``, ``eval_slam_baselines``,
+``eval_configs <glob> [all|loss_all|slam_all]``, ``export_corrected``,
+``render_meshes``, ``bench``.
 
 ``train_and_eval_all`` runs the experiment grid
-product(pose corrections, models, losses, dataset splits)
+product(pose providers, models, losses, dataset splits)
 (reference: main.py:249-313), with per-experiment config dirs derived from
 semantic descriptors, skip-if-exists resume (main.py:133-135), and optional
 ``launch_prefix`` subprocess fan-out for cluster schedulers
-(main.py:140-157).
+(main.py:140-157). Non-ground-truth pose providers consume the
+``slam_poses_<provider>.csv`` files ``eval_slam_baselines`` writes;
+``eval_configs`` re-evaluates existing experiment configs by glob
+(main.py:320-393).
 """
 from __future__ import annotations
 
@@ -59,25 +65,42 @@ def eval_loss_baselines(cfg: Config):
     return eval_loss_all(base)
 
 
-def train_and_eval_all(cfg: Config, pose_corrections=None, models=None, losses=None):
-    """Experiment grid (reference: main.py:240-313)."""
+def train_and_eval_all(cfg: Config, pose_providers=None, models=None, losses=None):
+    """Experiment grid product(pose providers, models, losses, splits)
+    (reference: main.py:240-313). Non-ground-truth pose providers read
+    ``slam_poses_<provider>.csv`` files from ``<preproc_dir>/<name>/``
+    (written by ``eval_slam_baselines``) and switch to per-pose correction
+    (reference: main.py:288-293)."""
+    from .config import PoseProvider, slam_poses_csv
     from .train_and_eval import train_and_eval
 
-    pose_corrections = pose_corrections or [cfg.pose_correction]
+    pose_providers = pose_providers or cfg.eval_pose_providers or [cfg.pose_provider]
     models = models or list(Model)
     losses = losses or [l for l in Loss if l != "icp_loss"]
     names = cfg.train_names or cfg.test_names or cfg.val_names
     splits = create_splits(names)
 
     results = {}
-    for i_exp, (pc, model, loss, (i_split, split)) in enumerate(
-        itertools.product(pose_corrections, models, losses, enumerate(splits))
+    for i_exp, (provider, model, loss, (i_split, split)) in enumerate(
+        itertools.product(pose_providers, models, losses, enumerate(splits))
     ):
         exp_cfg = cfg.copy()
-        exp_cfg.pose_correction = pc
+        exp_cfg.pose_provider = provider
         exp_cfg.model_class = model
         exp_cfg.loss = loss
         exp_cfg.from_dict(split)
+        if provider != PoseProvider.ground_truth:
+            base = cfg.get_preproc_dir()
+            exp_cfg.train_poses_path = [
+                slam_poses_csv(base, n, provider) for n in exp_cfg.train_names
+            ]
+            exp_cfg.val_poses_path = [
+                slam_poses_csv(base, n, provider) for n in exp_cfg.val_names
+            ]
+            exp_cfg.test_poses_path = [
+                slam_poses_csv(base, n, provider) for n in exp_cfg.test_names
+            ]
+            exp_cfg.pose_correction = PoseCorrection.pose
         exp_cfg.log_dir = os.path.join(
             exp_cfg.get_exp_dir(), "split_%i" % i_split
         )
@@ -107,7 +130,90 @@ def train_and_eval_all(cfg: Config, pose_corrections=None, models=None, losses=N
             print("Launching: %s" % " ".join(cmd))
             subprocess.run(cmd, check=True)
         else:
-            results[(pc, model, loss, i_split)] = train_and_eval(exp_cfg)
+            results[(provider, model, loss, i_split)] = train_and_eval(exp_cfg)
+    return results
+
+
+def eval_slam_baselines(cfg: Config):
+    """Uncorrected-SLAM baselines per (sequence, slam) pair
+    (reference: main.py:70-160): BaseModel, per-sequence log dirs under
+    ``<preproc_dir>/<name>/``, writing ``slam_eval_<slam>.csv`` AND
+    ``slam_poses_<slam>.csv`` — the pose files the PoseProvider axis of
+    ``train_and_eval_all`` reads back."""
+    from .config import slam_eval_csv, slam_poses_csv
+    from .slam_eval import eval_slam
+
+    names = cfg.test_names or cfg.train_names or cfg.val_names
+    slams = cfg.eval_slams or [cfg.slam]
+    results = {}
+    for name, slam in itertools.product(names, slams):
+        run = cfg.copy()
+        run.model_class = "BaseModel"
+        run.model_args = []
+        run.model_kwargs = {}
+        run.model_state_dict = ""
+        run.log_dir = os.path.join(cfg.get_preproc_dir(), name)
+        run.train_names, run.val_names, run.test_names = [], [], [name]
+        run.slam = slam
+        run.slam_eval_csv = slam_eval_csv(run.log_dir, slam)
+        run.slam_poses_csv = slam_poses_csv(cfg.get_preproc_dir(), name, slam)
+        if os.path.exists(run.slam_poses_csv) and not cfg.force:
+            print("Baseline %s exists, skipping." % run.slam_poses_csv)
+            continue
+        results[(name, slam)] = eval_slam(run, apply_correction=False)
+    return results
+
+
+def eval_configs(cfg: Config, pattern: str, arg: str = "all"):
+    """Re-evaluate existing experiment configs matched by a glob
+    (reference: main.py:320-393): for each config YAML, load it, adjust the
+    log dir (``cfg.log_dir`` may use ``{dirname}``/``{basename}``
+    placeholders; default = alongside the config), optionally override the
+    eigenvalue bounds, and run the requested eval set.
+
+    :param arg: ``all`` | ``loss_all`` | ``slam_all``.
+    """
+    from glob import glob
+
+    from .eval import eval_loss_all, eval_slam_all
+
+    configs = sorted(glob(pattern, recursive=True))
+    print("Configs to evaluate (%d):" % len(configs))
+    for c in configs:
+        print("  %s" % c)
+
+    results = {}
+    for i, config_path in enumerate(configs):
+        run = Config()
+        run.from_yaml(config_path)
+        dirname, basename = os.path.split(config_path)
+        if cfg.log_dir and ("{dirname}" in cfg.log_dir or "{basename}" in cfg.log_dir):
+            run.log_dir = cfg.log_dir.format(dirname=dirname, basename=basename)
+        else:
+            run.log_dir = dirname
+        os.makedirs(run.log_dir, exist_ok=True)
+        if cfg.eigenvalue_bounds:
+            run.eigenvalue_bounds = cfg.eigenvalue_bounds
+        if cfg.launch_prefix:
+            launch_args = cfg.launch_prefix.format(
+                log_dir=run.log_dir, name="eval_%i" % i
+            ).split()
+            cmd = launch_args + [
+                sys.executable, "-m", "depth_correction_tpu.main",
+                "--from-yaml", config_path, "--log-dir", run.log_dir,
+                "--", "eval_" + ("loss_all" if arg == "loss_all"
+                                 else "slam_all" if arg == "slam_all"
+                                 else "all"),
+            ]
+            print("Launching: %s" % " ".join(cmd))
+            subprocess.run(cmd, check=True)
+            continue
+        out = {}
+        if arg in ("all", "loss_all"):
+            out["loss"] = eval_loss_all(run)
+        if arg in ("all", "slam_all"):
+            out["slam"] = eval_slam_all(run)
+        results[config_path] = out
     return results
 
 
@@ -133,6 +239,14 @@ def main(argv=None):
     if rest:
         print("Ignored arguments: %s" % rest, file=sys.stderr)
     cfg.sanitize()
+
+    if verbs and verbs[0] == "eval_configs":
+        # eval_configs <glob> [all|loss_all|slam_all]
+        # (reference: main.py:320-393, 456-500 parses the same tail args).
+        if len(verbs) < 2:
+            raise SystemExit("eval_configs needs a glob pattern")
+        eval_configs(cfg, verbs[1], verbs[2] if len(verbs) > 2 else "all")
+        return
 
     for verb in verbs:
         if verb == "print_config":
@@ -164,16 +278,17 @@ def main(argv=None):
             if not cfg.slam_eval_csv:
                 cfg.slam_eval_csv = slam_eval_csv(cfg.log_dir, cfg.slam)
             eval_slam(cfg)
-        elif verb == "eval_slam_baselines":
-            from .config import slam_eval_csv
-            from .slam_eval import eval_slam
+        elif verb == "eval_slam_all":
+            from .eval import eval_slam_all
 
-            base = cfg.copy()
-            base.model_class = "BaseModel"
-            base.model_state_dict = ""
-            if not base.slam_eval_csv:
-                base.slam_eval_csv = slam_eval_csv(cfg.log_dir, cfg.slam)
-            eval_slam(base, apply_correction=False)
+            eval_slam_all(cfg)
+        elif verb == "eval_all":
+            from .eval import eval_loss_all, eval_slam_all
+
+            eval_loss_all(cfg)
+            eval_slam_all(cfg)
+        elif verb == "eval_slam_baselines":
+            eval_slam_baselines(cfg)
         elif verb == "export_corrected":
             from .slam_eval import export_corrected_clouds
 
@@ -200,6 +315,14 @@ def main(argv=None):
                 ds = create_dataset(name, cfg, noisy=False, **kw)
                 n = ds.render_all() if hasattr(ds, "render_all") else 0
                 print("rendered %d scans for %s -> %s" % (n, name, cache))
+        elif verb == "results":
+            # Render the full table/figure set from out_dir's CSVs
+            # (reference: results.py:498-598).
+            from .results import render_all
+
+            artifacts = render_all(cfg.out_dir)
+            for k, v in sorted(artifacts.items()):
+                print("%s: %s" % (k, v))
         elif verb == "bench":
             import runpy
 

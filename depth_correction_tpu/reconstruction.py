@@ -116,14 +116,29 @@ def marching_tetrahedra(
         t = np.clip(s1 / den, 0.0, 1.0)
         return p1 + t[:, None] * (p2 - p1)
 
+    def orient(tri, p_rows, neg_rows):
+        """Flip triangles whose geometric normal opposes the local outward
+        direction (negative -> positive SDF corners), so winding-derived
+        face normals are globally consistent and point outward — required
+        when a reconstructed mesh feeds back into the renderer."""
+        wpos = (~neg_rows).astype(np.float64)
+        wneg = neg_rows.astype(np.float64)
+        mp = (p_rows * wpos[..., None]).sum(1) / wpos.sum(1)[:, None]
+        mn = (p_rows * wneg[..., None]).sum(1) / wneg.sum(1)[:, None]
+        outward = mp - mn
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        flip = np.sum(n * outward, axis=1) < 0.0
+        tri[flip] = tri[flip, ::-1]
+        return tri
+
     for tet in _TETS:
         s = s8[:, tet]  # (C, 4)
         p = pos8[:, tet]  # (C, 4, 3)
         neg = s < 0.0
         count = neg.sum(axis=1)
 
-        # One corner inside: triangle on the three edges from it.
-        for target, flip in ((1, False), (3, True)):
+        # One corner inside (or one outside): triangle on its three edges.
+        for target in (1, 3):
             rows = np.flatnonzero(count == target)
             if not len(rows):
                 continue
@@ -137,9 +152,7 @@ def marching_tetrahedra(
                 for j in range(3)
             ]
             tri = np.stack(vs, axis=1)
-            if flip:
-                tri = tri[:, ::-1]
-            tris.append(tri)
+            tris.append(orient(tri, p[rows], neg[rows]))
 
         # Two corners inside: quad over the four crossing edges -> 2 tris.
         rows = np.flatnonzero(count == 2)
@@ -152,8 +165,8 @@ def marching_tetrahedra(
             e12 = edge_point(p[rows, i1], s[rows, i1], p[rows, j2], s[rows, j2])
             e22 = edge_point(p[rows, i2], s[rows, i2], p[rows, j2], s[rows, j2])
             e21 = edge_point(p[rows, i2], s[rows, i2], p[rows, j1], s[rows, j1])
-            tris.append(np.stack([e11, e12, e22], axis=1))
-            tris.append(np.stack([e11, e22, e21], axis=1))
+            tris.append(orient(np.stack([e11, e12, e22], axis=1), p[rows], nr))
+            tris.append(orient(np.stack([e11, e22, e21], axis=1), p[rows], nr))
 
     if not tris:
         return np.zeros((0, 3)), np.zeros((0, 3), np.int64)

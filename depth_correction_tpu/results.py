@@ -20,6 +20,10 @@ __all__ = [
     "read_slam_eval_csv",
     "collect_results",
     "mean_loss_table",
+    "mean_slam_table",
+    "slam_error_per_sequence",
+    "plot_slam_trajs",
+    "render_all",
     "format_table",
     "to_latex",
 ]
@@ -82,6 +86,154 @@ def mean_loss_table(
         for (exp, sub), vals in sorted(table.items())
     ]
     return header, out_rows
+
+
+def mean_slam_table(root: str, slam: str = "*", subset: Optional[str] = None):
+    """Mean +- std SLAM errors per experiment config (reference:
+    results.py:139-196 ``get_slam_error`` / the localization-error tables).
+    Orientation errors are reported in degrees like the reference tables.
+
+    :return: (header, rows) with rows [config, subset, slam, r_angle_deg,
+        r_std_deg, t_norm_m, t_std_m, n].
+    """
+    pattern = "slam_eval_%s%s.csv" % (slam, "_%s" % subset if subset else "*")
+    table = defaultdict(list)
+    for path in sorted(glob.glob(os.path.join(root, "**", pattern), recursive=True)):
+        rel = os.path.relpath(os.path.dirname(path), root)
+        m = re.search(r"slam_eval_(\w+?)(?:_(train|val|test))?\.csv",
+                      os.path.basename(path))
+        slam_name = m.group(1) if m else "unknown"
+        sub = m.group(2) if m and m.group(2) else "all"
+        for row in read_slam_eval_csv(path):
+            table[(rel, sub, slam_name)].append(row[1:3])
+    header = ["config", "subset", "slam", "r_angle_deg", "r_std_deg",
+              "t_norm_m", "t_std_m", "n"]
+    out_rows = []
+    for (rel, sub, slam_name), vals in sorted(table.items()):
+        arr = np.asarray(vals, np.float64)
+        out_rows.append([
+            rel, sub, slam_name,
+            float(np.degrees(arr[:, 0].mean())),
+            float(np.degrees(arr[:, 0].std())),
+            float(arr[:, 1].mean()),
+            float(arr[:, 1].std()),
+            len(vals),
+        ])
+    return header, out_rows
+
+
+def slam_error_per_sequence(root: str, slam: str = "*"):
+    """Per-SEQUENCE mean SLAM errors over every matching experiment
+    (reference: results.py:558-586 ``slam_error_for_sequences``).
+
+    :return: (header, rows) with rows [sequence, r_angle_deg, t_norm_m, n].
+    """
+    pattern = "slam_eval_%s*.csv" % slam
+    per_seq = defaultdict(list)
+    for path in sorted(glob.glob(os.path.join(root, "**", pattern), recursive=True)):
+        for row in read_slam_eval_csv(path):
+            per_seq[row[0]].append(row[1:3])
+    header = ["sequence", "r_angle_deg", "t_norm_m", "n"]
+    rows = []
+    for seq, vals in sorted(per_seq.items()):
+        arr = np.asarray(vals, np.float64)
+        rows.append([
+            seq,
+            float(np.degrees(arr[:, 0].mean())),
+            float(arr[:, 1].mean()),
+            len(vals),
+        ])
+    return header, rows
+
+
+def plot_slam_trajs(runs: Dict[str, np.ndarray], out_path: str,
+                    title: Optional[str] = None) -> str:
+    """x/y trajectory comparison plot — GT vs SLAM vs SLAM+correction
+    (reference: results.py:498-556 ``plot_slam_trajs``), saved to disk.
+
+    :param runs: label -> (S, 4, 4) pose array (e.g. {"GT": ..., "SLAM": ...,
+        "SLAM+DC": ...}); the first entry draws thickest.
+    :return: the saved figure path.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    for i, (label, poses) in enumerate(runs.items()):
+        poses = np.asarray(poses)
+        ax.plot(poses[:, 0, 3], poses[:, 1, 3], linewidth=4 - min(i, 2),
+                label=label)
+    ax.grid(True)
+    ax.axis("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.legend(loc="best")
+    if title:
+        ax.set_title(title)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def render_all(root: str, out_dir: Optional[str] = None) -> Dict[str, str]:
+    """One command for the reference's table/figure set from ``gen/``:
+    mean-loss tables (per eval loss), mean SLAM tables, the per-sequence
+    SLAM table, and trajectory plots for every ``slam_poses_*.csv`` that has
+    a GT-comparable dataset name in its path.
+
+    :return: {artifact name: path}.
+    """
+    out_dir = out_dir or os.path.join(root, "results")
+    os.makedirs(out_dir, exist_ok=True)
+    artifacts = {}
+
+    for loss in ("min_eigval_loss", "trace_loss", "icp_loss"):
+        header, rows = mean_loss_table(root, loss=loss)
+        if not rows:
+            continue
+        base = os.path.join(out_dir, "mean_%s" % loss)
+        with open(base + ".txt", "w") as f:
+            f.write(format_table(header, rows) + "\n")
+        with open(base + ".tex", "w") as f:
+            f.write(to_latex(header, rows) + "\n")
+        artifacts["mean_%s" % loss] = base + ".txt"
+
+    header, rows = mean_slam_table(root)
+    if rows:
+        base = os.path.join(out_dir, "mean_slam_error")
+        with open(base + ".txt", "w") as f:
+            f.write(format_table(header, rows) + "\n")
+        with open(base + ".tex", "w") as f:
+            f.write(to_latex(header, rows) + "\n")
+        artifacts["mean_slam_error"] = base + ".txt"
+
+    header, rows = slam_error_per_sequence(root)
+    if rows:
+        base = os.path.join(out_dir, "slam_error_per_sequence")
+        with open(base + ".txt", "w") as f:
+            f.write(format_table(header, rows) + "\n")
+        with open(base + ".tex", "w") as f:
+            f.write(to_latex(header, rows) + "\n")
+        artifacts["slam_error_per_sequence"] = base + ".txt"
+
+    # Trajectory plots from every slam_poses CSV found.
+    from .datasets.asl_laser import read_poses
+
+    for path in sorted(glob.glob(os.path.join(root, "**", "slam_poses_*.csv"),
+                                 recursive=True)):
+        try:
+            _, poses = read_poses(path)
+        except Exception:
+            continue
+        rel = os.path.relpath(path, root).replace(os.sep, "_")
+        name = os.path.splitext(rel)[0]
+        fig_path = os.path.join(out_dir, name + ".png")
+        plot_slam_trajs({"SLAM": np.stack(poses)}, fig_path, title=name)
+        artifacts[name] = fig_path
+    return artifacts
 
 
 def format_table(header, rows, float_fmt: str = "%.6g") -> str:

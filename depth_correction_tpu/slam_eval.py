@@ -41,7 +41,7 @@ from .preproc import local_feature_cloud
 from .utils.io import append
 
 __all__ = ["icp_align", "slam_odometry", "slam_mapper", "eval_slam",
-           "export_corrected_clouds"]
+           "export_corrected_clouds", "run_external_slam"]
 
 
 def _icp_step(src_pts, src_valid, tgt_pts, tgt_normals, tgt_valid, inlier_ratio):
@@ -166,19 +166,25 @@ def slam_mapper(clouds: Sequence[Cloud], init_poses: np.ndarray,
     from .ops.filters import filter_grid_indices
     from .preproc import pad_size
 
-    def merge(map_pts, map_normals, new_pts, new_normals):
+    def merge(map_pts, map_normals, new_pts, new_normals, center):
         pts = np.concatenate([map_pts, new_pts])
         normals = np.concatenate([map_normals, new_normals])
         keep = np.asarray(filter_grid_indices(pts, map_voxel, keep="first"))
         pts, normals = pts[keep], normals[keep]
         if len(pts) > map_capacity:
-            # Bounded map: established (older) voxels win; raise map_voxel
-            # or map_capacity to keep newly explored space.
+            # Voxel-level eviction, not truncation: keep the capacity voxels
+            # NEAREST the current sensor position (a maintained local map —
+            # the norlab mapper's role). New nearby geometry always
+            # survives; only far-away map evicts, so registration against
+            # the local neighborhood keeps working on long sequences.
             warnings.warn(
-                "slam_mapper map reached capacity (%d voxels at %.2g m); "
-                "new geometry is being dropped" % (map_capacity, map_voxel)
+                "slam_mapper map at capacity (%d voxels at %.2g m); "
+                "evicting voxels farthest from the sensor"
+                % (map_capacity, map_voxel)
             )
-            pts, normals = pts[:map_capacity], normals[:map_capacity]
+            d2 = np.sum((pts - np.asarray(center)[None]) ** 2, axis=1)
+            nearest = np.argpartition(d2, map_capacity - 1)[:map_capacity]
+            pts, normals = pts[nearest], normals[nearest]
         return pts, normals
 
     def as_target(map_pts, map_normals, dtype):
@@ -213,7 +219,8 @@ def slam_mapper(clouds: Sequence[Cloud], init_poses: np.ndarray,
     est = [np.asarray(init_poses[0])]
     first_pts, first_normals = scan_arrays(clouds[0], est[0])
     map_pts, map_normals = merge(
-        np.zeros((0, 3)), np.zeros((0, 3)), first_pts, first_normals
+        np.zeros((0, 3)), np.zeros((0, 3)), first_pts, first_normals,
+        est[0][:3, 3],
     )
 
     for i in range(1, len(clouds)):
@@ -226,7 +233,8 @@ def slam_mapper(clouds: Sequence[Cloud], init_poses: np.ndarray,
                          inlier_ratio=inlier_ratio)
         est.append(np.asarray(T))
         new_pts, new_normals = scan_arrays(clouds[i], est[-1])
-        map_pts, map_normals = merge(map_pts, map_normals, new_pts, new_normals)
+        map_pts, map_normals = merge(map_pts, map_normals, new_pts,
+                                     new_normals, est[-1][:3, 3])
     return np.stack(est)
 
 
@@ -243,7 +251,13 @@ def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
     from .datasets import create_dataset
 
     if not test_datasets:
-        test_datasets = [create_dataset(n, cfg) for n in (cfg.test_names or [])]
+        test_datasets = [
+            create_dataset(
+                n, cfg,
+                poses_path=cfg.test_poses_path[i] if cfg.test_poses_path else None,
+            )
+            for i, n in enumerate(cfg.test_names or [])
+        ]
     model = load_model(cfg=cfg) if apply_correction else None
 
     results = {}
@@ -264,11 +278,13 @@ def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
             est = slam_odometry(clouds, odom)
         elif cfg.slam == SLAM.icp_mapper:
             est = slam_mapper(clouds, odom, map_voxel=cfg.grid_res or 0.1)
+        elif cfg.slam == SLAM.norlab_icp_mapper:
+            # External mapper: export corrected clouds + odometry priors,
+            # spawn the configured command, read the estimated poses back
+            # (the reference's roslaunch loop, eval.py:234-259).
+            est = run_external_slam(cfg, name, clouds, odom)
         else:
-            raise NotImplementedError(
-                "cfg.slam=%s: run the external mapper over "
-                "export_corrected_clouds() output" % cfg.slam
-            )
+            raise NotImplementedError("cfg.slam=%s" % cfg.slam)
 
         abs_a, abs_t, rel_a, rel_t = localization_errors(
             jnp.asarray(gt_poses), jnp.asarray(est)
@@ -284,11 +300,72 @@ def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
         if cfg.slam_eval_csv:
             append(cfg.slam_eval_csv, "%s %.9f %.9f %.9f %.9f\n" % ((name,) + stats))
         if cfg.slam_poses_csv:
-            rows = [
-                " ".join("%.9f" % x for x in np.asarray(T).ravel()) for T in est
-            ]
-            append(cfg.slam_poses_csv, "\n".join(rows) + "\n")
+            # Reference robot_data schema (poseId, timestamp, T00..T33;
+            # scripts/robot_data:196-204) so the file round-trips through
+            # read_poses / OverridePosesDataset (the PoseProvider axis).
+            from .datasets.asl_laser import write_poses
+
+            os.makedirs(os.path.dirname(cfg.slam_poses_csv) or ".", exist_ok=True)
+            write_poses(list(range(len(est))), est, cfg.slam_poses_csv)
     return results
+
+
+def run_external_slam(cfg: Config, name: str, clouds: Sequence[Cloud],
+                      prior_poses: np.ndarray) -> np.ndarray:
+    """Drive an external SLAM binary over exported corrected clouds — the
+    subprocess half the reference runs via roslaunch (eval.py:234-259,
+    scripts/robot_data:153-205).
+
+    Contract (``cfg.slam_command`` format template):
+
+    - ``{input_dir}``: directory of per-scan ``scan_%04d.npz`` files with
+      ``points`` / ``normals`` / ``mask`` (sensor frame, corrected) and
+      ``prior`` (the (4, 4) noisy-odometry pose prior — the reference feeds
+      SLAM the same perturbed odometry TF),
+    - ``{poses_csv}``: path where the mapper must write its estimated world
+      poses, robot_data CSV schema (``poseId, timestamp, T00..T33``).
+
+    :return: (S, 4, 4) estimated poses read back from the mapper's CSV.
+    """
+    import shlex
+    import subprocess
+
+    from .datasets.asl_laser import read_poses
+
+    if not cfg.slam_command:
+        raise ValueError(
+            "cfg.slam=norlab_icp_mapper needs cfg.slam_command (a template "
+            "with {input_dir} and {poses_csv}); see scripts/stub_slam_mapper.py"
+        )
+    in_dir = os.path.join(cfg.log_dir or ".", "external_slam",
+                          name.replace("/", "_"))
+    os.makedirs(in_dir, exist_ok=True)
+    for i, cloud in enumerate(clouds):
+        keep = np.asarray(cloud.valid)
+        np.savez_compressed(
+            os.path.join(in_dir, "scan_%04d.npz" % i),
+            points=np.asarray(cloud.to_points())[keep],
+            normals=np.asarray(cloud.normals)[keep]
+            if cloud.normals is not None
+            else np.zeros((int(keep.sum()), 3)),
+            mask=np.asarray(cloud.mask)[keep]
+            if cloud.mask is not None
+            else np.ones(int(keep.sum()), bool),
+            prior=np.asarray(prior_poses[i]),
+        )
+    poses_csv = os.path.join(in_dir, "slam_poses_external.csv")
+    cmd = cfg.slam_command.format(input_dir=in_dir, poses_csv=poses_csv)
+    print("Running external SLAM: %s" % cmd)
+    subprocess.run(shlex.split(cmd), check=True)
+    if not os.path.exists(poses_csv):
+        raise RuntimeError("external SLAM wrote no poses: %s" % poses_csv)
+    _, est = read_poses(poses_csv)
+    if len(est) != len(clouds):
+        raise RuntimeError(
+            "external SLAM returned %d poses for %d scans"
+            % (len(est), len(clouds))
+        )
+    return np.stack(est)
 
 
 def export_corrected_clouds(cfg: Config, out_dir: str,

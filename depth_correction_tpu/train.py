@@ -574,10 +574,25 @@ def train(
     os.makedirs(cfg.log_dir, exist_ok=True)
     cfg.to_yaml(os.path.join(cfg.log_dir, "train.yaml"))
 
+    # Pose source per sequence (the PoseProvider axis): *_poses_path
+    # overrides ground-truth poses with e.g. SLAM-estimated ones
+    # (reference: train.py:68-82, main.py:288-293).
     if not train_datasets:
-        train_datasets = [create_dataset(name, cfg) for name in (cfg.train_names or [])]
+        train_datasets = [
+            create_dataset(
+                name, cfg,
+                poses_path=cfg.train_poses_path[i] if cfg.train_poses_path else None,
+            )
+            for i, name in enumerate(cfg.train_names or [])
+        ]
     if not val_datasets:
-        val_datasets = [create_dataset(name, cfg) for name in (cfg.val_names or [])]
+        val_datasets = [
+            create_dataset(
+                name, cfg,
+                poses_path=cfg.val_poses_path[i] if cfg.val_poses_path else None,
+            )
+            for i, name in enumerate(cfg.val_names or [])
+        ]
     if not train_datasets:
         raise ValueError(
             "No training data: set cfg.train_names or pass train_datasets."
@@ -701,6 +716,13 @@ def train(
                 min_train_loss = float(restored["min_train_loss"])
                 min_val_loss = float(restored["min_val_loss"])
                 history = [tuple(r) for r in np.asarray(restored["history"])]
+                # The pre-interruption best lives in best.yaml; without this
+                # a resumed run that never beats the restored minima would
+                # return None despite a best checkpoint existing on disk.
+                best_yaml = os.path.join(cfg.log_dir, "best.yaml")
+                if os.path.exists(best_yaml):
+                    best_cfg = cfg.copy()
+                    best_cfg.from_yaml(best_yaml)
                 print("Resumed train state at iteration %d." % it0)
 
     import time

@@ -38,7 +38,7 @@ def main():
     from depth_correction_tpu.ops.features import neighborhood_moments_bucketed, _moments_impl
     from depth_correction_tpu.ops.eigh3 import eigvals3_c
 
-    cfg, data = build_workload()
+    cfg, data, _full_nn = build_workload()
     device = jax.devices()[0]
     data = to_device(data, device)
     params = {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))}

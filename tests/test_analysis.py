@@ -91,6 +91,54 @@ def test_results_tables(tmp_path):
     assert slam[0][2] == 0.2
 
 
+def test_results_slam_tables_and_plots(tmp_path):
+    """Per-config and per-sequence SLAM tables plus trajectory plots render
+    from gen/-style CSVs in one call (reference: results.py:158-186,
+    498-598)."""
+    import os
+
+    from depth_correction_tpu.datasets.asl_laser import write_poses
+    from depth_correction_tpu.results import (
+        mean_slam_table,
+        plot_slam_trajs,
+        render_all,
+        slam_error_per_sequence,
+    )
+
+    for split, rows in (("split_0", ["seqA 0.010 0.20 0.001 0.02",
+                                     "seqB 0.020 0.40 0.002 0.04"]),
+                        ("split_1", ["seqA 0.030 0.60 0.003 0.06"])):
+        exp = tmp_path / "expA" / split
+        exp.mkdir(parents=True)
+        (exp / "slam_eval_icp_mapper_test.csv").write_text("\n".join(rows) + "\n")
+        (exp / "loss_eval_min_eigval_loss_test.csv").write_text("seqA 0.001\n")
+
+    header, rows = mean_slam_table(str(tmp_path), "icp_mapper")
+    assert len(rows) == 2  # one per split config
+    r0 = rows[0]
+    np.testing.assert_allclose(r0[3], np.degrees(0.015))  # mean r in degrees
+    np.testing.assert_allclose(r0[5], 0.3)
+
+    header, rows = slam_error_per_sequence(str(tmp_path), "icp_mapper")
+    seqs = {r[0]: r for r in rows}
+    np.testing.assert_allclose(seqs["seqA"][2], 0.4)  # mean of 0.2, 0.6
+    np.testing.assert_allclose(seqs["seqB"][2], 0.4)
+    assert seqs["seqA"][3] == 2
+
+    # Trajectory CSV -> figure via render_all.
+    poses = np.tile(np.eye(4), (5, 1, 1))
+    poses[:, 0, 3] = np.arange(5.0)
+    write_poses(range(5), poses, str(tmp_path / "expA" / "slam_poses_icp_mapper.csv"))
+    artifacts = render_all(str(tmp_path))
+    assert any(v.endswith(".png") and os.path.exists(v) for v in artifacts.values())
+    assert os.path.exists(artifacts["mean_slam_error"])
+    assert os.path.exists(artifacts["slam_error_per_sequence"])
+
+    fig = plot_slam_trajs({"GT": poses, "SLAM": poses + 0.01},
+                          str(tmp_path / "traj.png"))
+    assert os.path.exists(fig)
+
+
 def test_visualization_helpers():
     from depth_correction_tpu.visualization import map_colors
 

@@ -58,6 +58,24 @@ def test_resume_reproduces_uninterrupted_run(tmp_path):
     assert len(rows) == 13  # header + 12
 
 
+def test_resume_returns_prior_best_when_not_beaten(tmp_path):
+    """A resumed run that never improves on the restored minima still
+    returns the pre-interruption best (read from best.yaml) instead of
+    None."""
+    cfg = base_cfg(tmp_path / "d")
+    cfg.n_opt_iters = 6
+    best_first = train(cfg)
+    assert best_first is not None
+
+    # Resume for zero additional improvement opportunity: same iteration
+    # count means the loop body never runs again.
+    cfg2 = base_cfg(tmp_path / "d")
+    cfg2.n_opt_iters = 6
+    best_resumed = train(cfg2)
+    assert best_resumed is not None
+    assert best_resumed.model_state_dict == best_first.model_state_dict
+
+
 def test_resume_disabled_restarts(tmp_path):
     cfg = base_cfg(tmp_path / "c")
     cfg.n_opt_iters = 6

@@ -33,6 +33,25 @@ def test_marching_tetrahedra_on_analytic_sphere():
     assert faces.min() >= 0 and faces.max() < len(verts)
 
 
+def test_marching_tetrahedra_winding_globally_consistent():
+    """Every face normal (from winding) points OUTWARD on a sphere — the
+    2-2 quad case included (winding-derived normals must be usable when the
+    mesh feeds back into the renderer; reference depth_cloud.py:655-682
+    delegates this guarantee to Open3D Poisson)."""
+    res = 0.1
+    ax = np.arange(-1.5, 1.5 + res, res)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    sdf = np.sqrt(gx**2 + gy**2 + gz**2) - 1.0
+    verts, faces = marching_tetrahedra(sdf, None, np.full(3, ax[0]), res)
+    tri = verts[faces]  # (F, 3, 3)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    centroid = tri.mean(axis=1)  # outward direction on a centered sphere
+    dots = np.sum(n * centroid, axis=1)
+    assert (dots > 0).all(), "%d of %d faces wound inward" % (
+        (dots <= 0).sum(), len(dots)
+    )
+
+
 def test_cloud_to_mesh_sphere():
     """Reconstruct a sphere from an oriented cloud (the to_mesh role)."""
     pts, normals = sphere_cloud()

@@ -141,10 +141,22 @@ def test_slam_mapper_target_grows_with_map():
         poses.append(np.asarray(pose))
     poses = np.stack(poses)
 
-    # Tiny capacity: overflow must warn, not crash.
+    # Overflowing capacity (full map is ~1.9k voxels): the mapper warns and
+    # EVICTS voxels far from the sensor (maintained local map) instead of
+    # dropping new geometry — drift reduction vs odometry survives overflow.
+    import jax.numpy as jnp
+
+    from depth_correction_tpu.metrics import localization_errors
+    from depth_correction_tpu.slam_eval import perturb_odometry
+
+    odom = perturb_odometry(poses, [1e-5, 1e-5, 1e-5, 4e-3, 4e-3, 4e-3],
+                            seed=3)
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        est = slam_mapper(clouds, poses, n_iters=2, map_voxel=0.3,
-                          map_capacity=512)
+        est = slam_mapper(clouds, odom, n_iters=4, map_voxel=0.3,
+                          map_capacity=1536)
     assert est.shape == (3, 4, 4)
-    assert any("capacity" in str(w.message) for w in rec)
+    assert any("evicting" in str(w.message) for w in rec)
+    _, odom_t, _, _ = localization_errors(jnp.asarray(poses), jnp.asarray(odom))
+    _, est_t, _, _ = localization_errors(jnp.asarray(poses), jnp.asarray(est))
+    assert float(jnp.mean(est_t)) < 0.2 * float(jnp.mean(odom_t))

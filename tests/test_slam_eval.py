@@ -1,4 +1,6 @@
 """In-framework ICP alignment / odometry evaluation."""
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -88,8 +90,90 @@ def test_eval_slam_mapper_csvs(tmp_path):
     assert all(np.isfinite(s) for s in stats)
     rows = open(cfg.slam_eval_csv).read().strip().splitlines()
     assert len(rows) == 1 and len(rows[0].split()) == 5
+    # Poses use the robot_data schema (poseId, timestamp, T00..T33) and
+    # round-trip through read_poses (the PoseProvider axis input format).
+    from depth_correction_tpu.datasets.asl_laser import read_poses
+
     pose_rows = open(cfg.slam_poses_csv).read().strip().splitlines()
-    assert len(pose_rows) == 4 and len(pose_rows[0].split()) == 16
+    assert len(pose_rows) == 5  # header + 4 poses
+    ids, est = read_poses(cfg.slam_poses_csv)
+    assert len(est) == 4 and est[0].shape == (4, 4)
+
+
+def test_eval_slam_external_subprocess(tmp_path):
+    """cfg.slam=norlab_icp_mapper drives an external mapper binary end to
+    end: corrected clouds export, subprocess launch, pose read-back, drift
+    CSVs (reference: eval.py:234-259). The stub applies a known drift, so
+    the reported translation error is exactly predictable."""
+    import sys
+
+    from depth_correction_tpu.config import slam_eval_csv
+    from depth_correction_tpu.slam_eval import eval_slam
+
+    stub = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "stub_slam_mapper.py")
+    drift = 0.05
+    cfg = box_cfg()
+    cfg.test_names = ["open_box/n_4_size_10_10_5_height_1_density_50"]
+    cfg.odom_cov = [0.0] * 6  # priors = GT, so error comes from drift only
+    cfg.log_dir = str(tmp_path)
+    cfg.slam = "norlab_icp_mapper"
+    cfg.slam_command = (
+        "%s %s {input_dir} {poses_csv} --drift %g" % (sys.executable, stub, drift)
+    )
+    cfg.slam_eval_csv = slam_eval_csv(cfg.log_dir, cfg.slam)
+    results = eval_slam(cfg, apply_correction=False)
+    (name, stats), = results.items()
+    # abs translation error = mean_i |drift * i| over 4 scans = drift * 1.5
+    np.testing.assert_allclose(stats[1], drift * 1.5, rtol=1e-6)
+    rows = open(cfg.slam_eval_csv).read().strip().splitlines()
+    assert len(rows) == 1 and len(rows[0].split()) == 5
+
+
+def test_stub_mapper_icp_mode(tmp_path):
+    """The stub's default (Kabsch-refine) mode improves on noisy priors —
+    the harness works with a mapper that actually registers."""
+    import subprocess
+    import sys
+
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.datasets.asl_laser import read_poses
+    from depth_correction_tpu.preproc import local_feature_cloud
+    from depth_correction_tpu.slam_eval import perturb_odometry
+
+    cfg = box_cfg()
+    ds = create_dataset("open_box/n_4_size_10_10_5_height_1_density_50", cfg,
+                        noisy=False)
+    in_dir = str(tmp_path / "scans")
+    os.makedirs(in_dir)
+    poses = []
+    for i, (scan, pose) in enumerate(ds):
+        cloud = local_feature_cloud(scan, cfg)
+        keep = np.asarray(cloud.valid)
+        poses.append(np.asarray(pose))
+        np.savez(
+            os.path.join(in_dir, "scan_%04d.npz" % i),
+            points=np.asarray(cloud.to_points())[keep],
+            normals=np.asarray(cloud.normals)[keep],
+            mask=keep[keep],
+            prior=np.asarray(pose),
+        )
+    odom = perturb_odometry(np.stack(poses), [1e-6] * 3 + [1e-3] * 3, seed=5)
+    for i in range(len(poses)):
+        path = os.path.join(in_dir, "scan_%04d.npz" % i)
+        data = dict(np.load(path))
+        data["prior"] = odom[i]
+        np.savez(path, **data)
+
+    stub = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "stub_slam_mapper.py")
+    out_csv = str(tmp_path / "poses.csv")
+    subprocess.run([sys.executable, stub, in_dir, out_csv], check=True)
+    _, est = read_poses(out_csv)
+    assert len(est) == len(poses)
+    err_prior = np.mean([np.linalg.norm((p - o)[:3, 3]) for p, o in zip(poses, odom)])
+    err_est = np.mean([np.linalg.norm((p - e)[:3, 3]) for p, e in zip(poses, est)])
+    assert err_est < err_prior
 
 
 def test_perturb_odometry_statistics():
