@@ -12,16 +12,25 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, steps=20, warmup=3):
+def _materialize(out):
+    """Force a device->host read of a dependent scalar: through the axon
+    tunnel ``block_until_ready`` can return before the computation ran
+    (phantom timings); a float() of a result element cannot."""
     import jax
+    import jax.numpy as jnp
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def timeit(fn, *args, steps=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     return (time.perf_counter() - t0) / steps * 1e3
 
 

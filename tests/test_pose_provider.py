@@ -86,6 +86,48 @@ def test_pose_provider_grid_end_to_end(tmp_path):
     assert "icp_mapper" in best.log_dir  # provider in the experiment dir name
 
 
+def test_create_dataset_npz_roundtrip(tmp_path):
+    """The ROS-free dataset-creation script writes the FEE-Corridor npz
+    layout, which loads back through the fee_corridor Dataset (counterpart
+    of the reference's rosbag one-offs, scripts/create_fee_corridor)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "create_dataset_npz.py")
+    spec = importlib.util.spec_from_file_location("create_dataset_npz", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "my_seq")
+    mod.main(["--source", "ground_plane/4", "--out", out])
+
+    from depth_correction_tpu.datasets.fee_corridor import Dataset
+    from depth_correction_tpu.preproc import local_feature_cloud
+
+    ds = Dataset(path=out)
+    assert len(ds) == 4
+    scan, pose = ds[0]
+    # Source schema passes through (ground_plane carries normals, no vp_*).
+    assert set(scan.dtype.names) >= {"x", "y", "z"}
+    assert pose.shape == (4, 4)
+
+    cfg = base_cfg(tmp_path)
+    fc = local_feature_cloud(scan, cfg)
+    assert fc.normals is not None and int(np.asarray(fc.valid).sum()) > 100
+
+    # Export-dir mode consumes run_external_slam / export_corrected npz.
+    exp = tmp_path / "export"
+    os.makedirs(str(exp))
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        np.savez(str(exp / ("scan_%04d.npz" % i)),
+                 points=rng.normal(size=(50, 3)), prior=np.eye(4))
+    out2 = str(tmp_path / "seq2")
+    mod.main(["--source-dir", str(exp), "--out", out2])
+    ds2 = Dataset(path=out2)
+    assert len(ds2) == 2 and len(ds2.local_cloud(ds2.ids[0])) == 50
+
+
 def test_eval_configs_glob(tmp_path, capsys):
     """eval_configs re-evaluates existing experiment configs by glob
     (reference: main.py:320-393)."""
