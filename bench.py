@@ -58,11 +58,25 @@ def build_workload():
     production prep uses — instead of bouncing to a host KD-tree (which
     cost ~70 s of host time for the same graph).
     """
+    import os
+    import pickle
+
     import jax
+    import jax.numpy as jnp
 
     from depth_correction_tpu.config import Config
     from depth_correction_tpu.datasets import create_dataset
     from depth_correction_tpu.train import prepare_sequences
+
+    # Optional prep cache (DC_BENCH_CACHE=<path>) for fast iteration on the
+    # measured step; the canonical driver run builds from scratch.
+    cache = os.environ.get("DC_BENCH_CACHE")
+    if cache and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            cfg, data_np, full_nn = pickle.load(f)
+        data = jax.tree_util.tree_map(jnp.asarray, data_np)
+        print("[bench] workload loaded from %s" % cache, file=sys.stderr)
+        return cfg, data, jnp.asarray(full_nn)
 
     cfg = Config()
     cfg.nn_backend = "grid"
@@ -93,6 +107,14 @@ def build_workload():
     gcloud = global_cloud(data.batches[0])
     full_nn, _ = establish_neighborhoods(gcloud, cfg)
     print("[bench] sequences prepared (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
+    if cache:
+        with open(cache, "wb") as f:
+            pickle.dump(
+                (cfg, jax.tree_util.tree_map(np.asarray, data),
+                 np.asarray(full_nn)),
+                f,
+            )
+        print("[bench] workload cached to %s" % cache, file=sys.stderr)
     return cfg, data, full_nn
 
 

@@ -266,33 +266,6 @@ def _gather_T_bwd(res, g):
 _gather_T.defvjp(_gather_T_fwd, _gather_T_bwd)
 
 
-def _take16(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """Lane-axis gather of an f32 (C, M) table at 16-bit rate.
-
-    TPU gathers process ~one index per fixed time with the leading
-    (component) axis nearly free, and 16-bit element gathers run ~2.7x
-    faster than 32-bit (measured). Bitcasting each f32 into two u16 lanes
-    doubles the free component axis and buys that rate for f32 data.
-
-    :param table: (C, M) float32.
-    :param idx: (...,) int32 indices into M (already clamped non-negative).
-    :return: (C, ...) float32 gathered values.
-    """
-    if table.dtype != jnp.float32:
-        return jnp.take(table, idx, axis=1)
-    c, m = table.shape
-    # Split via shifts, not bitcast-to-(..., 2): a trailing size-2 axis gets
-    # lane-padded to 128 in TPU layouts (64x memory blowup / HBM OOM).
-    u32 = jax.lax.bitcast_convert_type(table, jnp.uint32)  # (C, M)
-    lo = (u32 & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-    hi = (u32 >> jnp.uint32(16)).astype(jnp.uint16)
-    packed = jnp.concatenate([lo, hi], axis=0)  # (2C, M)
-    g = jnp.take(packed, idx, axis=1)  # (2C, ...)
-    glo = g[:c].astype(jnp.uint32)
-    ghi = g[c:].astype(jnp.uint32)
-    return jax.lax.bitcast_convert_type((ghi << jnp.uint32(16)) | glo, jnp.float32)
-
-
 def _moments_impl(points, neighbors, weights):
     """Weighted neighborhood moments in (C, K, M) layout.
 
@@ -303,9 +276,11 @@ def _moments_impl(points, neighbors, weights):
     :return: (mean (3, Mq), comps 6-tuple of (Mq,), w_sum (Mq,)).
     """
     idxT = jnp.maximum(neighbors, 0).T  # (K, Mq)
-    # f32 take with (K, M) index layout: measured 0.2 GB temp vs 0.9 GB for
-    # (M, K) indices and 3.3 GB for the u16-packed variant (_take16) — the
-    # 16-bit-rate gather is compute-faster but its lowering pads HBM hard.
+    # Plain f32 take with the (K, Mq) index layout. A u16-packed gather
+    # (_take16-style bitcast) runs 2.3x faster ISOLATED (46.2 -> 20.3 ms,
+    # 7.1M indices) but 1.6x SLOWER in the real step (fwd 47 -> 74 ms):
+    # the 16->32-bit recombination cannot fuse into the moments math and
+    # pays ~85 MB of relayout vector work (measured, scripts/exp_step_ab).
     nbr = jnp.take(points.T, idxT, axis=1)  # (3, K, Mq)
     wT = weights.T  # (K, Mq)
     w = wT[None]
