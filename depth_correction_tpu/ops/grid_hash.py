@@ -57,20 +57,36 @@ def _cell_ids(points, mins, dims, cell_size):
     return (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2], c
 
 
+@jax.jit
+def _minmax(points, valid):
+    """Masked per-axis min/max — computed ON DEVICE so sizing pulls six
+    scalars instead of the whole point array (the naive np.asarray(points)
+    cost ~seconds per call through a remote-device tunnel)."""
+    big = jnp.asarray(jnp.inf, points.dtype)
+    lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
+    return lo, hi
+
+
 def _grid_meta(points, valid, cell_size):
-    """Host-side sizing: per-axis mins, cell-grid dims, final cell size.
+    """Sizing: per-axis mins, cell-grid dims, final cell size. Only six
+    scalars cross to the host.
 
     Scenes whose extent would need >= 2^31 cells auto-coarsen: the cell
     doubles until the linearized ids fit int32. Exactness is preserved
     (coverage only needs ``cell >= r``); bigger cells just widen the
     candidate windows, degrading speed gracefully instead of raising.
     """
-    pts = np.asarray(points, np.float64)
-    val = np.asarray(valid) if valid is not None else np.ones(len(pts), bool)
-    sel = pts[val] if val.any() else pts[:1]
+    if valid is None:
+        valid = jnp.ones(points.shape[0], bool)
+    lo, hi = _minmax(jnp.asarray(points), jnp.asarray(valid))
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    if not np.isfinite(lo).all():  # no valid points
+        lo = hi = np.zeros(3)
     while True:
-        mins = np.floor(sel.min(axis=0) / cell_size) * cell_size
-        dims = np.floor((sel.max(axis=0) - mins) / cell_size).astype(np.int64) + 1
+        mins = np.floor(lo / cell_size) * cell_size
+        dims = np.floor((hi - mins) / cell_size).astype(np.int64) + 1
         if int(dims[0]) * int(dims[1]) * int(dims[2]) < 2**31:
             return mins, dims.astype(np.int32), float(cell_size)
         cell_size = 2.0 * cell_size

@@ -12,14 +12,20 @@ import numpy as np
 
 
 def timeit(fn, reps=3):
-    import jax
+    def mat(out):
+        # Host read of ONE result element (device-side slice first!):
+        # block_until_ready can return before execution through the axon
+        # tunnel (phantom timings), while np.asarray(full_array) would drag
+        # the whole 200 MB result through the tunnel (~10 s of pure
+        # transfer that is NOT establishment time).
+        return int(out[1][0, 0])
 
     out = fn()
-    jax.block_until_ready(out)
+    mat(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-        jax.block_until_ready(out)
+        mat(out)
     return (time.perf_counter() - t0) / reps, out
 
 
