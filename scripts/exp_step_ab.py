@@ -1,8 +1,15 @@
-"""A/B the training step with/without the u16-packed gathers, decomposed.
+"""Measure the training step (fwd / fwd+bwd / full) on the bench workload.
 
-Uses the DC_BENCH_CACHE workload (fast iteration) and float() materialized
-timing (phantom-safe). Flips DC_GATHER16 between traces — the flag is read
-at trace time, so re-jitting picks it up.
+Uses the DC_BENCH_CACHE workload for fast iteration and float() materialized
+timing (phantom-safe through the axon tunnel). The cached pickle carries
+prebuilt transpose graphs; they are REBUILT here so the current bucket
+ladder is what gets measured (and its index inflation printed).
+
+History of measurements this harness settled:
+- u16-packed gathers: 2.3x faster isolated, 1.6x slower in-step (the
+  16->32-bit recombination cannot fuse into the moments math) — rejected.
+- arithmetic-by-8 bucket ladder: transpose-pair inflation 1.50x -> 1.20x,
+  step 88.5 -> 79.8 ms — adopted.
 """
 from __future__ import annotations
 
@@ -27,19 +34,44 @@ def timeit(fn, *args, steps=10, warmup=2):
     return (time.perf_counter() - t0) / steps * 1e3
 
 
-def build_step(cfg, data, mode: str):
+def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import optax
 
+    sys.path.insert(0, "/root/repo")
+    os.environ.setdefault("DC_BENCH_CACHE", "/tmp/bench_workload.pkl")
+    from bench import build_workload, to_device
     from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.ops.features import build_bucketed_transpose
     from depth_correction_tpu.train import make_loss_fn
 
-    os.environ["DC_GATHER16"] = mode
+    cfg, data, _ = build_workload()
+
+    new_t = []
+    for i, nn in enumerate(data.neighbors):
+        m = int(np.prod(np.asarray(data.batches[i].cloud.depth).shape))
+        w = np.asarray(data.weights[i])
+        tg = build_bucketed_transpose(np.asarray(nn), num_points=m, weights=w)
+        pairs = sum(int(np.prod(b.shape)) for b in tg.idx)
+        real = int((np.asarray(nn) >= 0).sum())
+        print("seq %d: transpose pairs %d (real %d, inflation %.2fx, "
+              "buckets %s)" % (i, pairs, real, pairs / max(real, 1),
+                               [b.shape for b in tg.idx]))
+        new_t.append(tg)
+    data = dataclasses.replace(data, t_neighbors=tuple(new_t))
+
+    device = jax.devices()[0]
+    data = to_device(data, device)
     loss_fn = make_loss_fn(cfg)
-    params = {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))}
+    params = to_device(
+        {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))},
+        device,
+    )
     tx = optax.adam(cfg.lr)
-    opt_state = tx.init(params)
+    opt_state = to_device(tx.init(params), device)
 
     @jax.jit
     def step(params, opt_state, data):
@@ -47,35 +79,12 @@ def build_step(cfg, data, mode: str):
         updates, opt_state = tx.update(grads, opt_state, params)
         return loss, optax.apply_updates(params, updates), opt_state
 
-    @jax.jit
-    def fwd(params, data):
-        return loss_fn(params, data)
+    fwd = jax.jit(loss_fn)
+    fwdbwd = jax.jit(lambda p, d: jax.value_and_grad(loss_fn)(p, d))
 
-    @jax.jit
-    def fwdbwd(params, data):
-        return jax.value_and_grad(loss_fn)(params, data)
-
-    return step, fwd, fwdbwd, params, opt_state
-
-
-def main():
-    import jax
-
-    sys.path.insert(0, "/root/repo")
-    os.environ.setdefault("DC_BENCH_CACHE", "/tmp/bench_workload.pkl")
-    from bench import build_workload, to_device
-
-    cfg, data, _ = build_workload()
-    device = jax.devices()[0]
-    data = to_device(data, device)
-
-    for mode, label in (("0", "f32"), ("fwd", "u16-fwd"), ("1", "u16-all")):
-        step, fwd, fwdbwd, params, opt_state = build_step(cfg, data, mode)
-        params = to_device(params, device)
-        opt_state = to_device(opt_state, device)
-        print("%s fwd:      %7.2f ms" % (label, timeit(fwd, params, data)))
-        print("%s fwd+bwd:  %7.2f ms" % (label, timeit(fwdbwd, params, data)))
-        print("%s step:     %7.2f ms" % (label, timeit(step, params, opt_state, data)))
+    print("fwd:      %7.2f ms" % timeit(fwd, params, data))
+    print("fwd+bwd:  %7.2f ms" % timeit(fwdbwd, params, data))
+    print("step:     %7.2f ms" % timeit(step, params, opt_state, data))
 
 
 if __name__ == "__main__":
