@@ -81,9 +81,15 @@ def train_and_eval_all(cfg: Config, pose_providers=None, models=None, losses=Non
     splits = create_splits(names)
 
     results = {}
+    n_scheduled = 0
     for i_exp, (provider, model, loss, (i_split, split)) in enumerate(
         itertools.product(pose_providers, models, losses, enumerate(splits))
     ):
+        if cfg.launch_prefix and cfg.num_jobs and n_scheduled >= cfg.num_jobs:
+            # Reference: cap the number of scheduled batch jobs
+            # (main.py:251-255).
+            print("Maximum number of jobs scheduled.")
+            break
         exp_cfg = cfg.copy()
         exp_cfg.pose_provider = provider
         exp_cfg.model_class = model
@@ -129,6 +135,7 @@ def train_and_eval_all(cfg: Config, pose_providers=None, models=None, losses=Non
             ]
             print("Launching: %s" % " ".join(cmd))
             subprocess.run(cmd, check=True)
+            n_scheduled += 1
         else:
             results[(provider, model, loss, i_split)] = train_and_eval(exp_cfg)
     return results

@@ -340,6 +340,12 @@ def run_external_slam(cfg: Config, name: str, clouds: Sequence[Cloud],
     in_dir = os.path.join(cfg.log_dir or ".", "external_slam",
                           name.replace("/", "_"))
     os.makedirs(in_dir, exist_ok=True)
+    # Clear stale scans from a previous (possibly longer) run — the mapper
+    # globs scan_*.npz, so leftovers would corrupt its input sequence.
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(in_dir, "scan_*.npz")):
+        os.remove(stale)
     for i, cloud in enumerate(clouds):
         keep = np.asarray(cloud.valid)
         np.savez_compressed(

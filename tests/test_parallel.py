@@ -322,6 +322,21 @@ def test_sharded_grid_establishment_matches_single_device():
     sets8 = [set(int(j) for j in row if j >= 0) for row in np.asarray(i8)]
     assert sets1 == sets8
 
+    # establish_neighborhoods(mesh=...) routes the radius branch through it.
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.preproc import establish_neighborhoods
+
+    cfg, _, _ = ge._tiny_setup()
+    cloud = Cloud.from_points(jnp.asarray(pts), pad_to=3072)
+    nn_1, _ = establish_neighborhoods(cloud, cfg)
+    nn_8, _ = establish_neighborhoods(cloud, cfg, mesh=mesh)
+    s1 = [set(int(j) for j in row if j >= 0) for row in np.asarray(nn_1)]
+    s8 = [set(int(j) for j in row if j >= 0) for row in np.asarray(nn_8)]
+    assert s1 == s8
+
 
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge

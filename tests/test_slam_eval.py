@@ -128,6 +128,10 @@ def test_eval_slam_external_subprocess(tmp_path):
     np.testing.assert_allclose(stats[1], drift * 1.5, rtol=1e-6)
     rows = open(cfg.slam_eval_csv).read().strip().splitlines()
     assert len(rows) == 1 and len(rows[0].split()) == 5
+    # Re-running reuses the export dir (stale scans are cleared first).
+    results2 = eval_slam(cfg, apply_correction=False)
+    np.testing.assert_allclose(next(iter(results2.values()))[1], drift * 1.5,
+                               rtol=1e-6)
 
 
 def test_stub_mapper_icp_mode(tmp_path):
