@@ -18,6 +18,7 @@ are reused across scans of similar size.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -123,6 +124,11 @@ def filtered_cloud(
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("scale",))
+def _compute_features_jit(cloud: Cloud, neighbors, weights, scale):
+    return compute_features(cloud, neighbors, weights, scale=scale)
+
+
 def local_feature_cloud(
     cloud,
     cfg: Config,
@@ -170,7 +176,10 @@ def local_feature_cloud(
 
     # Neighbors + features (reference: preproc.py:50 / depth_cloud.py:426-441).
     neighbors, weights = establish_scan_neighbors(cloud, cfg)
-    cloud = compute_features(cloud, neighbors, weights, scale=cfg.nn_scale)
+    # Jitted: one program dispatch per (shape, scale) instead of ~50 eager
+    # ops — prep runs host-side, where per-op dispatch (especially through
+    # a remote-device tunnel) dominates otherwise.
+    cloud = _compute_features_jit(cloud, neighbors, weights, cfg.nn_scale)
 
     # Planar-region mask (reference: preproc.py:53-62).
     mask = cloud.valid
