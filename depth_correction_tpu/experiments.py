@@ -133,7 +133,10 @@ def joint_learning(
     def step(params, opt_state, data):
         loss, grads = jax.value_and_grad(loss_fn)(params, data)
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, gmask)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        updates, opt_state = tx.update(
+            grads, opt_state, params,
+            value=loss, grad=grads, value_fn=lambda p: loss_fn(p, data),
+        )
         return loss, optax.apply_updates(params, updates), opt_state
 
     gt_map_j = None if gt_map is None else jnp.asarray(gt_map, cfg.jax_float_type())

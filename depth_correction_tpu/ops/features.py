@@ -28,7 +28,9 @@ from .eigh3 import eigh3
 __all__ = [
     "BucketedTranspose",
     "build_bucketed_transpose",
+    "build_bucketed_transpose_device",
     "build_transpose_graph",
+    "build_transpose_graph_device",
     "gather_neighbors",
     "gather_neighbors_transposed",
     "neighborhood_features",
@@ -206,6 +208,157 @@ def build_bucketed_transpose(
     inv = np.where(pos_in_concat >= 0, pos_in_concat, mr).astype(np.int32)
     return BucketedTranspose(idx=tuple(idx_parts), w=tuple(w_parts),
                              inv=jnp.asarray(inv))
+
+
+# ---------------------------------------------------------------------------
+# Device-side transpose construction. The host builders above move the whole
+# (Mq*K) pair table through numpy several times (argsort + bincount + fancy
+# indexing — at production sizes, gigabytes of host RAM and the dominant prep
+# phase after on-device establishment). The device path does one argsort +
+# gathers on-chip and pulls only the (M,) in-degree vector to host (bucket
+# shapes are data-dependent, so sizing stays a host decision).
+# ---------------------------------------------------------------------------
+
+
+def _pair_widths(max_deg: int, min_width: int = 8):
+    """The bucket-width ladder shared by host and device builders: steps of
+    8 up to 64, then doubling (bounds padding ~1.15x on radius graphs)."""
+    widths = []
+    wd = min_width
+    while wd < max_deg:
+        widths.append(wd)
+        wd = wd + 8 if wd < 64 else wd * 2
+    widths.append(max(wd, min_width))
+    return widths
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("mq", "k", "num_points"))
+def _transpose_pairs_sized(j, weights, mq, k, num_points=None):
+    """Transpose pairs sorted by target point, built on device.
+
+    Sorting the Mq*K pair keys once (stable, padding keyed past every real
+    point) yields, for each target j, a contiguous run of its referencing
+    (query row i, slot k) pairs, in the same order as the host builders'
+    stable numpy argsort — downstream tables are bitwise identical.
+
+    :return: (i_s, k_s, w_s, start, deg) — pair query rows / slots /
+        weights sorted by target; ``start``/``deg`` give each target's run.
+    """
+    m = int(num_points) if num_points is not None else mq
+    j = jnp.where(j >= 0, j, m)  # padding sorts to the tail
+    order = jnp.argsort(j, stable=True).astype(jnp.int32)
+    j_s = jnp.take(j, order)
+    i_s = (order // k).astype(jnp.int32)
+    k_s = (order % k).astype(jnp.int32)
+    if weights is None:
+        w_s = (j_s < m).astype(jnp.float32)
+    else:
+        w_s = jnp.take(weights.reshape(-1), order)
+    bounds = jnp.searchsorted(
+        j_s, jnp.arange(m + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    start = bounds[:-1]
+    deg = bounds[1:] - bounds[:-1]
+    return i_s, k_s, w_s, start, deg
+
+
+@jax.jit
+def _fill_rows_device(rows_b, start, deg, i_s, w_s, cols):
+    """Gather one bucket's (Mb, Ktb) transpose tables from the sorted pairs
+    (pure gathers — no scatter, so this lowers on TPU)."""
+    s = jnp.take(start, rows_b)
+    d = jnp.take(deg, rows_b)
+    pos = s[:, None] + cols[None, :]
+    valid = cols[None, :] < d[:, None]
+    pos = jnp.minimum(pos, i_s.shape[0] - 1)
+    t_idx = jnp.where(valid, jnp.take(i_s, pos), -1)
+    t_w = jnp.where(valid, jnp.take(w_s, pos), jnp.zeros((), w_s.dtype))
+    return t_idx, t_w
+
+
+@jax.jit
+def _fill_slots_device(start, deg, i_s, k_s, cols):
+    """Flat (m, Kt) pair-level transpose tables from the sorted pairs."""
+    pos = start[:, None] + cols[None, :]
+    valid = cols[None, :] < deg[:, None]
+    pos = jnp.minimum(pos, i_s.shape[0] - 1)
+    t_idx = jnp.where(valid, jnp.take(i_s, pos), -1)
+    t_slot = jnp.where(valid, jnp.take(k_s, pos), -1)
+    return t_idx, t_slot
+
+
+def build_bucketed_transpose_device(
+    neighbors,
+    num_points: Optional[int] = None,
+    weights=None,
+    min_width: int = 8,
+) -> BucketedTranspose:
+    """:func:`build_bucketed_transpose` computed on device.
+
+    Identical output (same stable pair order, same bucket ladder); host
+    involvement is the (M,) in-degree pull that sizes the buckets. Use when
+    ``neighbors`` already lives on an accelerator (post-establishment prep).
+    """
+    import numpy as np
+
+    mq, k = neighbors.shape
+    m = int(num_points) if num_points is not None else mq
+    j = jnp.asarray(neighbors).reshape(-1).astype(jnp.int32)
+    i_s, _k_s, w_s, start, deg = _transpose_pairs_sized(
+        j, weights, mq, k, num_points=m
+    )
+    deg_np = np.asarray(deg)
+
+    max_deg = int(deg_np.max()) if deg_np.size else 1
+    widths = _pair_widths(max(max_deg, 1), min_width)
+    width_of = np.searchsorted(np.asarray(widths), np.maximum(deg_np, 1))
+
+    idx_parts = []
+    w_parts = []
+    offset = 0
+    pos_in_concat = np.full(m, -1, np.int64)
+    for b, ktb in enumerate(widths):
+        rows_b = np.flatnonzero((width_of == b) & (deg_np > 0))
+        if len(rows_b) == 0:
+            continue
+        cols = jnp.arange(ktb, dtype=jnp.int32)
+        t_idx_b, t_w_b = _fill_rows_device(
+            jnp.asarray(rows_b, jnp.int32), start, deg, i_s, w_s, cols
+        )
+        idx_parts.append(t_idx_b)
+        w_parts.append(t_w_b)
+        pos_in_concat[rows_b] = offset + np.arange(len(rows_b))
+        offset += len(rows_b)
+
+    inv = np.where(pos_in_concat >= 0, pos_in_concat, offset).astype(np.int32)
+    return BucketedTranspose(idx=tuple(idx_parts), w=tuple(w_parts),
+                             inv=jnp.asarray(inv))
+
+
+def build_transpose_graph_device(neighbors, num_points: Optional[int] = None,
+                                 weights=None):
+    """:func:`build_transpose_graph` computed on device (one argsort +
+    gathers; the only host transfer is the scalar max in-degree that sizes
+    the static Kt)."""
+    mq, k = neighbors.shape
+    m = int(num_points) if num_points is not None else mq
+    j = jnp.asarray(neighbors).reshape(-1).astype(jnp.int32)
+    i_s, k_s, w_s, start, deg = _transpose_pairs_sized(
+        j, weights, mq, k, num_points=m
+    )
+    kt = max(int(deg.max()), 1)
+    kt = max(-(-kt // 8) * 8, 8)
+    cols = jnp.arange(kt, dtype=jnp.int32)
+    t_idx, t_slot = _fill_slots_device(start, deg, i_s, k_s, cols)
+    if weights is not None:
+        _, t_w = _fill_rows_device(
+            jnp.arange(m, dtype=jnp.int32), start, deg, i_s, w_s, cols
+        )
+        return t_idx, t_slot, t_w
+    return t_idx, t_slot
 
 
 @jax.custom_vjp

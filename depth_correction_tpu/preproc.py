@@ -388,6 +388,7 @@ def offset_cloud(batch: SequenceBatch, model=None) -> Cloud:
     return flatten_batch(cloud)
 
 
+@jax.jit
 def symmetrize_neighbors(neighbors) -> jnp.ndarray:
     """Keep only mutual pairs: (i, j) survives iff j lists i too.
 
@@ -395,17 +396,30 @@ def symmetrize_neighbors(neighbors) -> jnp.ndarray:
     at ``nn_max_neighbors`` truncates one-sidedly, which makes the transpose
     in-degree (and with it the analytic-backward gather) up to ~5x the
     forward width. Mutual trimming restores in-degree <= K.
+
+    Runs on device: each neighbor's own row is gathered back and compared
+    (chunked so the (C, K, K) block stays in VMEM-sized tiles) — no host
+    pair tables, unlike the former numpy ``isin`` over all M*K keys.
     """
-    nb = np.asarray(neighbors)
+    nb = jnp.asarray(neighbors, jnp.int32)
     m, k = nb.shape
-    i = np.repeat(np.arange(m, dtype=np.int64), k)
-    j = nb.ravel().astype(np.int64)
-    valid = j >= 0
-    key_ij = i * m + j
-    key_ji = j * m + i
-    keep = valid & np.isin(key_ij, key_ji[valid], assume_unique=False)
-    out = np.where(keep.reshape(m, k), nb, -1)
-    return jnp.asarray(out, jnp.int32)
+    chunk = min(512, m)
+    g = -(-m // chunk)
+    pad = g * chunk - m
+    nb_p = (
+        jnp.concatenate([nb, jnp.full((pad, k), -1, nb.dtype)]) if pad else nb
+    )
+    rows = jnp.arange(g * chunk, dtype=jnp.int32).reshape(g, chunk)
+    nb_g = nb_p.reshape(g, chunk, k)
+
+    def body(args):
+        r, c = args  # (C,), (C, K)
+        back = jnp.take(nb, jnp.maximum(c, 0), axis=0)  # (C, K, K)
+        mutual = (back == r[:, None, None]).any(-1) & (c >= 0)
+        return jnp.where(mutual, c, -1)
+
+    out = jax.lax.map(body, (rows, nb_g))
+    return out.reshape(g * chunk, k)[:m]
 
 
 def establish_neighborhoods(

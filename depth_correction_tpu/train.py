@@ -123,7 +123,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
     icp_w = []
     for ds in datasets:
         clouds, poses = [], []
-        local_nns: List[np.ndarray] = []
+        local_nns: List[jax.Array] = []
         # Load the sequence first and pad every scan to ONE width: per-scan
         # feature programs (kNN, moments, masks) then compile once and are
         # reused across all scans instead of once per distinct padded size.
@@ -164,7 +164,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
                     fc, lnn, _lw = local_feature_cloud(
                         scan, cfg, pad_to=common_pad, return_neighbors=True
                     )
-                    local_nns.append(np.asarray(lnn))
+                    local_nns.append(lnn)
                 else:
                     fc = local_feature_cloud(scan, cfg, pad_to=common_pad)
                 # The hot loop consumes source fields + incidence angles +
@@ -235,24 +235,25 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         # neighborhoods; the hot loop then gathers/eigendecomposes for the
         # masked subset instead of every padded point. The gather TABLE
         # (all points) is untouched — masked-out points still serve as
-        # neighbors.
-        from .ops.features import build_bucketed_transpose
+        # neighbors. Everything stays on device; the only host transfer is
+        # the kept-row count that sizes the padded query axis.
+        from .ops.features import build_bucketed_transpose_device
         from .preproc import pad_size
 
-        m_total = int(np.asarray(gmask).shape[0])
-        rows = np.flatnonzero(np.asarray(gmask))
-        mq = pad_size(max(len(rows), 1))
-        qrows = np.full(mq, -1, np.int64)
-        qrows[: len(rows)] = rows
-        nn_np = np.asarray(nn)[np.maximum(qrows, 0)]
-        nn_np[qrows < 0] = -1
-        w_np = (nn_np >= 0).astype(np.asarray(w).dtype)
-        masks.append(jnp.asarray(qrows >= 0))
-        neighbors.append(jnp.asarray(nn_np, jnp.int32))
-        weights.append(jnp.asarray(w_np))
+        m_total = int(gmask.shape[0])
+        mq = pad_size(max(int(jnp.sum(gmask)), 1))
+        qrows = jnp.nonzero(gmask, size=mq, fill_value=-1)[0].astype(jnp.int32)
+        qvalid = qrows >= 0
+        nn_c = jnp.where(
+            qvalid[:, None], jnp.take(nn, jnp.maximum(qrows, 0), axis=0), -1
+        )
+        w_c = (nn_c >= 0).astype(jnp.asarray(w).dtype)
+        masks.append(qvalid)
+        neighbors.append(nn_c)
+        weights.append(w_c)
         # Query positions for the Gaussian re-weighting (nn_scale) ride a
         # (Mq,) row -> point-table gather (reference: depth_cloud.py:362-363).
-        query_rows.append(jnp.asarray(qrows, jnp.int32))
+        query_rows.append(qrows)
 
         # Dynamic loss offset (reference: preproc.py:67-77, loss.py:279-281):
         # carry the frozen LOCAL (per-scan) neighborhoods of the query rows so
@@ -263,17 +264,29 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
         if cfg.loss_offset:
             s_dim, n_dim = batch.num_scans, batch.cloud.depth.shape[1]
             kl = max(a.shape[1] for a in local_nns)
-            flat_nn = np.full((s_dim * n_dim, kl), -1, np.int64)
+            blocks = []
             for s, a in enumerate(local_nns):
-                block = np.where(a >= 0, a + s * n_dim, -1)
-                flat_nn[s * n_dim : s * n_dim + a.shape[0], : a.shape[1]] = block
-            onn = flat_nn[np.maximum(qrows, 0)]
-            onn[qrows < 0] = -1
-            ow = (onn >= 0).astype(np.asarray(w).dtype)
-            off_neighbors.append(jnp.asarray(onn, jnp.int32))
-            off_weights.append(jnp.asarray(ow))
+                a = jnp.asarray(a, jnp.int32)
+                block = jnp.where(a >= 0, a + s * n_dim, -1)
+                if a.shape[1] < kl:
+                    block = jnp.pad(
+                        block, ((0, 0), (0, kl - a.shape[1])),
+                        constant_values=-1,
+                    )
+                blocks.append(block)
+            flat_nn = jnp.concatenate(blocks, axis=0)
+            onn = jnp.where(
+                qvalid[:, None],
+                jnp.take(flat_nn, jnp.maximum(qrows, 0), axis=0),
+                -1,
+            )
+            ow = (onn >= 0).astype(jnp.asarray(w).dtype)
+            off_neighbors.append(onn)
+            off_weights.append(ow)
             off_transpose.append(
-                build_bucketed_transpose(onn, num_points=s_dim * n_dim, weights=ow)
+                build_bucketed_transpose_device(
+                    onn, num_points=s_dim * n_dim, weights=ow
+                )
             )
         else:
             off_neighbors.append(None)
@@ -285,14 +298,16 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             # the frozen-weight analytic moments backward does not apply;
             # carry the PAIR-level transpose instead, which makes the
             # neighbor-gather backward scatter-free (weights re-fold in-step).
-            from .ops.features import build_transpose_graph
+            from .ops.features import build_transpose_graph_device
 
-            t_idx, t_slot = build_transpose_graph(nn_np, num_points=m_total)
+            t_idx, t_slot = build_transpose_graph_device(nn_c, num_points=m_total)
             t_neighbors.append(t_idx)
             t_slots.append(t_slot)
         else:
             t_neighbors.append(
-                build_bucketed_transpose(nn_np, num_points=m_total, weights=w_np)
+                build_bucketed_transpose_device(
+                    nn_c, num_points=m_total, weights=w_c
+                )
             )
             t_slots.append(None)
         t_weights.append(None)
@@ -515,21 +530,47 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
 
 def make_optimizer(cfg: Config):
     """Optax chain per config (reference uses torch Adam/SGD/LBFGS,
-    train.py:140-148)."""
+    train.py:140-148).
+
+    The returned transform uniformly accepts ``value``/``grad``/``value_fn``
+    keyword arguments in ``update`` (ignored by Adam/SGD, consumed by the
+    L-BFGS line search), so every step function can pass them
+    unconditionally.
+
+    L-BFGS runs a strong-Wolfe zoom line search by default, matching the
+    closure-re-evaluation behavior of the reference's torch LBFGS
+    (reference train.py:300-312); the step size then comes from the line
+    search and ``cfg.lr`` is ignored. Opt out with
+    ``optimizer_kwargs={"line_search": False}`` for the plain
+    ``lr``-scaled update.
+    """
     name = cfg.optimizer.lower()
     kwargs = dict(cfg.optimizer_kwargs or {})
     if name == "adam":
         betas = kwargs.pop("betas", (0.9, 0.999))
-        return optax.adam(cfg.lr, b1=betas[0], b2=betas[1], **kwargs)
-    if name == "sgd":
-        return optax.sgd(cfg.lr, **kwargs)
-    if name == "lbfgs":
-        # Plain-update L-BFGS (no line search), usable in the same jitted
-        # step as Adam/SGD.
-        return optax.chain(
-            optax.scale_by_lbfgs(), optax.scale_by_learning_rate(cfg.lr)
-        )
-    raise ValueError("Unknown optimizer: %s" % cfg.optimizer)
+        tx = optax.adam(cfg.lr, b1=betas[0], b2=betas[1], **kwargs)
+    elif name == "sgd":
+        tx = optax.sgd(cfg.lr, **kwargs)
+    elif name == "lbfgs":
+        memory_size = int(kwargs.pop("memory_size", 10))
+        line_search = bool(kwargs.pop("line_search", True))
+        max_ls = int(kwargs.pop("max_linesearch_steps", 20))
+        if line_search:
+            tx = optax.lbfgs(
+                learning_rate=None,
+                memory_size=memory_size,
+                linesearch=optax.scale_by_zoom_linesearch(
+                    max_linesearch_steps=max_ls
+                ),
+            )
+        else:
+            tx = optax.chain(
+                optax.scale_by_lbfgs(memory_size=memory_size),
+                optax.scale_by_learning_rate(cfg.lr),
+            )
+    else:
+        raise ValueError("Unknown optimizer: %s" % cfg.optimizer)
+    return optax.with_extra_args_support(tx)
 
 
 def _grad_mask(params, cfg: Config):
@@ -640,7 +681,10 @@ def train(
                     grads,
                     {"pose_deltas": vmask["pose_deltas"]},
                 )
-                updates, vopt_state = val_tx.update(grads, vopt_state, vparams)
+                updates, vopt_state = val_tx.update(
+                    grads, vopt_state, vparams,
+                    value=loss, grad=grads, value_fn=fn,
+                )
                 return loss, optax.apply_updates(vparams, updates), vopt_state
 
         else:
@@ -658,7 +702,15 @@ def train(
     def step(params, opt_state, data):
         loss, grads = jax.value_and_grad(train_loss_fn)(params, data)
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, gmask)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        # value/grad/value_fn feed the L-BFGS line search (closure
+        # re-evaluation, as in the reference's torch LBFGS); Adam/SGD
+        # ignore them. Frozen leaves stay frozen: their masked grads keep
+        # the L-BFGS direction zero in those coordinates.
+        updates, opt_state = tx.update(
+            grads, opt_state, params,
+            value=loss, grad=grads,
+            value_fn=lambda p: train_loss_fn(p, data),
+        )
         # Grads ride back out for observability (tiny pytrees; reference
         # logs per-weight grads + pose-delta grad histograms,
         # train.py:271-297).

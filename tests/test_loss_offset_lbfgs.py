@@ -95,13 +95,10 @@ def test_loss_offset_tracks_current_model():
         np.testing.assert_allclose(got, manual, rtol=1e-5)
 
 
-def test_lbfgs_optimizer_trains():
+def _run_lbfgs(cfg, n_iters=20):
     import jax
     import optax
 
-    cfg = cfg_base()
-    cfg.optimizer = "lbfgs"
-    cfg.lr = 0.3
     ds = create_dataset("ground_plane/4", cfg)
     data = prepare_sequences([ds], cfg)
     loss_fn = make_loss_fn(cfg)
@@ -112,10 +109,31 @@ def test_lbfgs_optimizer_trains():
     @jax.jit
     def step(params, opt_state, data):
         loss, grads = jax.value_and_grad(loss_fn)(params, data)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        updates, opt_state = tx.update(
+            grads, opt_state, params,
+            value=loss, grad=grads, value_fn=lambda p: loss_fn(p, data),
+        )
         return loss, optax.apply_updates(params, updates), opt_state
 
     l0 = float(loss_fn(params, data))
-    for _ in range(20):
+    for _ in range(n_iters):
         loss, params, opt_state = step(params, opt_state, data)
-    assert float(loss) < l0
+    return l0, float(loss_fn(params, data))
+
+
+def test_lbfgs_optimizer_trains():
+    cfg = cfg_base()
+    cfg.optimizer = "lbfgs"
+    cfg.lr = 0.3
+    l0, l_ls = _run_lbfgs(cfg)
+    assert l_ls < l0
+
+    # The strong-Wolfe line search (default) should converge at least as
+    # well in the same iteration count as the plain lr-scaled update
+    # (reference torch LBFGS re-evaluates the closure; train.py:300-312).
+    cfg2 = cfg_base()
+    cfg2.optimizer = "lbfgs"
+    cfg2.lr = 0.3
+    cfg2.optimizer_kwargs = {"line_search": False}
+    _, l_plain = _run_lbfgs(cfg2)
+    assert l_ls <= l_plain * 1.05

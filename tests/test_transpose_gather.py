@@ -156,6 +156,67 @@ def test_bucketed_transpose_structure():
     assert padded <= 2 * real + 8 * len(np.unique(nb[nb >= 0]))
 
 
+def test_device_builders_match_host():
+    """The on-device transpose builders reproduce the host numpy builders
+    bitwise (same stable pair order, same bucket ladder)."""
+    from depth_correction_tpu.ops.features import (
+        build_bucketed_transpose,
+        build_bucketed_transpose_device,
+        build_transpose_graph,
+        build_transpose_graph_device,
+    )
+
+    rng = np.random.default_rng(5)
+    mq, k, m = 300, 11, 500
+    nb = rng.integers(0, m, (mq, k))
+    nb[rng.random((mq, k)) < 0.3] = -1
+    w = rng.uniform(0.5, 1.5, (mq, k))
+
+    t_h = build_transpose_graph(nb, num_points=m, weights=w)
+    t_d = build_transpose_graph_device(
+        jnp.asarray(nb, jnp.int32), num_points=m, weights=jnp.asarray(w)
+    )
+    for a, b in zip(t_h, t_d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bt_h = build_bucketed_transpose(nb, num_points=m, weights=w)
+    bt_d = build_bucketed_transpose_device(
+        jnp.asarray(nb, jnp.int32), num_points=m, weights=jnp.asarray(w)
+    )
+    assert len(bt_h.idx) == len(bt_d.idx)
+    for a, b in zip(bt_h.idx, bt_d.idx):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(bt_h.w, bt_d.w):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(bt_h.inv), np.asarray(bt_d.inv))
+
+    # Weightless variants (weights default to the validity mask).
+    t_h2 = build_transpose_graph(nb, num_points=m)
+    t_d2 = build_transpose_graph_device(jnp.asarray(nb, jnp.int32), num_points=m)
+    for a, b in zip(t_h2, t_d2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_symmetrize_neighbors_device():
+    """Mutual-pair trim matches the brute-force set semantics."""
+    from depth_correction_tpu.preproc import symmetrize_neighbors
+
+    rng = np.random.default_rng(9)
+    m, k = 700, 7
+    nb = rng.integers(0, m, (m, k))
+    nb[rng.random((m, k)) < 0.25] = -1
+    out = np.asarray(symmetrize_neighbors(jnp.asarray(nb, jnp.int32)))
+
+    listed = [set(row[row >= 0].tolist()) for row in nb]
+    for i in range(m):
+        for c in range(k):
+            j = nb[i, c]
+            if j >= 0 and i in listed[j]:
+                assert out[i, c] == j
+            else:
+                assert out[i, c] == -1
+
+
 def test_bucketed_moments_gradients_match():
     """Bucketed analytic backward == plain autodiff gradients."""
     from depth_correction_tpu.ops.features import (
