@@ -67,8 +67,27 @@ def eval_loss(
         model = load_model(cfg=cfg)
     loss_fun = loss_fun or create_loss(cfg)
 
+    # Multi-chip evaluation (cfg.mesh_shape, as in train()): establishment,
+    # the point tables, and the loss all shard over the 1-D mesh. A
+    # caller-provided test_data keeps its own placement (single-device path).
+    mesh = None
+    if cfg.mesh_shape and test_data is None:
+        from .parallel import make_mesh
+
+        n_dev = (
+            int(cfg.mesh_shape.get("data", 1))
+            if isinstance(cfg.mesh_shape, dict)
+            else int(cfg.mesh_shape)
+        )
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+
     if test_data is None:
-        test_data = prepare_sequences(test_datasets, cfg)
+        test_data = prepare_sequences(test_datasets, cfg, mesh=mesh)
+        if mesh is not None:
+            from .parallel import shard_train_data
+
+            test_data = shard_train_data(test_data, mesh)
 
     params = {"model": model}
     # Pose deltas: loaded from checkpoint or zero-initialized
@@ -86,7 +105,12 @@ def eval_loss(
 
     import jax
 
-    loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
+    if mesh is not None:
+        from .parallel import make_sharded_loss_fn
+
+        loss_fn = make_sharded_loss_fn(test_data, cfg, mesh)
+    else:
+        loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
     value = float(jax.jit(loss_fn)(params, test_data))
 
     print("Test loss on %s: %.9f" % (", ".join(test_names), value))

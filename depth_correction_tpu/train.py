@@ -100,9 +100,15 @@ class TrainData:
     icp_w: tuple = ()
 
 
-def prepare_sequences(datasets, cfg: Config) -> TrainData:
+def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
     """Build per-sequence batches, frozen neighborhoods, and masks
-    (reference: train.py:90-216 without the hot loop)."""
+    (reference: train.py:90-216 without the hot loop).
+
+    :param mesh: optional 1-D ``jax.sharding.Mesh``; global-neighborhood
+        establishment then runs under shard_map with the query axis split
+        across devices (memory-scaling prep; see
+        ``preproc.establish_neighborhoods``).
+    """
     from .config import NeighborhoodType
 
     plane_mode = cfg.nn_type == NeighborhoodType.plane
@@ -224,7 +230,7 @@ def prepare_sequences(datasets, cfg: Config) -> TrainData:
             off_weights.append(None)
             off_transpose.append(None)
             continue
-        nn, w = establish_neighborhoods(gcloud, cfg)
+        nn, w = establish_neighborhoods(gcloud, cfg, mesh=mesh)
         feat = compute_neighborhood_features(gcloud, nn, w, cfg)
         # Carry the local planar masks into the global mask
         # (reference: train.py:212-215).
@@ -641,8 +647,33 @@ def train(
 
     loss_fun = create_loss(cfg)
 
-    train_data = prepare_sequences(train_datasets, cfg)
-    val_data = prepare_sequences(val_datasets, cfg) if val_datasets else None
+    # Multi-chip training (cfg.mesh_shape, e.g. {'data': 8}): the step runs
+    # SPMD over a 1-D device mesh — scan batches and query-row tables shard
+    # along their point axes (each device holds ~1/D of every per-point
+    # array; see parallel/sharding.py), establishment runs under shard_map,
+    # and scalars psum over ICI. None = single device.
+    mesh = None
+    if cfg.mesh_shape:
+        from .parallel import make_mesh
+
+        n_dev = (
+            int(cfg.mesh_shape.get("data", 1))
+            if isinstance(cfg.mesh_shape, dict)
+            else int(cfg.mesh_shape)
+        )
+        if n_dev > 1:
+            mesh = make_mesh(n_dev)
+
+    train_data = prepare_sequences(train_datasets, cfg, mesh=mesh)
+    val_data = (
+        prepare_sequences(val_datasets, cfg, mesh=mesh) if val_datasets else None
+    )
+    if mesh is not None:
+        from .parallel import make_sharded_loss_fn, shard_train_data
+
+        train_data = shard_train_data(train_data, mesh)
+        if val_data is not None:
+            val_data = shard_train_data(val_data, mesh)
 
     model = load_model(cfg=cfg)
     params = {"model": model}
@@ -650,7 +681,10 @@ def train(
     if train_deltas is not None:
         params["pose_deltas"] = train_deltas
 
-    train_loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
+    if mesh is not None:
+        train_loss_fn = make_sharded_loss_fn(train_data, cfg, mesh)
+    else:
+        train_loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
     tx = make_optimizer(cfg)
     gmask = _grad_mask(params, cfg)
     opt_state = tx.init(params)
@@ -663,7 +697,10 @@ def train(
     val_tx = None
     val_opt_state = None
     if val_data is not None:
-        val_loss_core = make_loss_fn(cfg, loss_fun=loss_fun)
+        if mesh is not None:
+            val_loss_core = make_sharded_loss_fn(val_data, cfg, mesh)
+        else:
+            val_loss_core = make_loss_fn(cfg, loss_fun=loss_fun)
         if cfg.pose_correction in (PoseCorrection.sequence, PoseCorrection.pose):
             val_params = {"pose_deltas": init_pose_deltas(val_data, cfg)}
             val_tx = make_optimizer(cfg)

@@ -338,6 +338,74 @@ def test_sharded_grid_establishment_matches_single_device():
     assert s1 == s8
 
 
+def test_train_honors_mesh_shape(tmp_path):
+    """cfg.mesh_shape drives train() end to end: data shards over the mesh,
+    the sharded step trains, and the it-0 loss matches the single-device
+    run (same establishment, same reduction semantics)."""
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.train import train
+
+    def base(log_dir):
+        cfg = Config()
+        cfg.log_dir = str(log_dir)
+        cfg.float_type = "float32"
+        cfg.train_names = ["ground_plane/4"]
+        cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 20.0, 0.25
+        cfg.nn_r, cfg.nn_k = 0.4, 0
+        cfg.vp_dispersion_bounds = []
+        cfg.eigenvalue_ratio_bounds = []
+        cfg.min_valid_neighbors = 3
+        cfg.loss = "min_eigval_loss"
+        cfg.loss_kwargs = {"sqrt": False, "normalization": True}
+        cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+        cfg.lr, cfg.n_opt_iters = 1e-3, 6
+        return cfg
+
+    def history(log_dir):
+        rows = np.loadtxt(log_dir / "train_history.csv", skiprows=1, ndmin=2)
+        return rows[:, 1]
+
+    cfg_s = base(tmp_path / "single")
+    best_s = train(cfg_s)
+    loss_s = history(tmp_path / "single")
+
+    cfg_m = base(tmp_path / "mesh")
+    cfg_m.mesh_shape = {"data": 8}
+    best_m = train(cfg_m)
+    loss_m = history(tmp_path / "mesh")
+
+    assert best_s is not None and best_m is not None
+    np.testing.assert_allclose(loss_m[0], loss_s[0], rtol=1e-5)
+    assert loss_m[-1] < loss_m[0]
+    np.testing.assert_allclose(loss_m[-1], loss_s[-1], rtol=1e-3)
+
+
+def test_eval_loss_honors_mesh_shape(tmp_path):
+    """cfg.mesh_shape shards evaluation too; the value matches the
+    single-device eval to reduction tolerance."""
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.eval import eval_loss
+
+    def base():
+        cfg = Config()
+        cfg.log_dir = str(tmp_path / "log")
+        cfg.test_names = ["ground_plane/4"]
+        cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 20.0, 0.25
+        cfg.nn_r, cfg.nn_k = 0.4, 0
+        cfg.vp_dispersion_bounds = []
+        cfg.eigenvalue_ratio_bounds = []
+        cfg.min_valid_neighbors = 3
+        cfg.model_kwargs = {"w": [-0.001], "exponent": [4.0]}
+        cfg.loss_kwargs = {"sqrt": False, "normalization": True}
+        return cfg
+
+    ref = eval_loss(base())
+    cfg = base()
+    cfg.mesh_shape = {"data": 8}
+    got = eval_loss(cfg)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
