@@ -62,6 +62,15 @@ def build_workload():
     import pickle
 
     import jax
+
+    # Persistent compile cache: prep compiles ~a dozen programs (features,
+    # grid engine, transpose builders); repeat runs on the same host reuse
+    # the serialized executables instead of re-paying the (remote) compiler.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_dctpu_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from depth_correction_tpu.config import Config
@@ -81,6 +90,8 @@ def build_workload():
     cfg = Config()
     cfg.nn_backend = "grid"
     cfg.float_type = "float32"
+    # A/B knob: Morton-ordered point table (see cfg.spatial_sort).
+    cfg.spatial_sort = bool(int(os.environ.get("DC_SPATIAL_SORT", "0")))
     cfg.dataset = "open_box"
     cfg.train_names = ["open_box/n_6_size_20_20_5_height_1_density_400"]
     cfg.min_depth, cfg.max_depth = 1.0, 25.0
@@ -179,6 +190,12 @@ def bench_torch_baseline(cfg, data, steps: int = 5, full_nn=None) -> float:
     import torch
 
     batch = data.batches[0]
+    pp = data.point_perm[0] if getattr(data, "point_perm", None) else None
+    perm = (
+        torch.as_tensor(np.asarray(pp[0]), dtype=torch.long)
+        if pp is not None and full_nn is None
+        else None
+    )
     if full_nn is not None:
         nn_np = np.asarray(full_nn)
         nn = torch.as_tensor(nn_np, dtype=torch.long)
@@ -209,6 +226,8 @@ def bench_torch_baseline(cfg, data, steps: int = 5, full_nn=None) -> float:
         t = poses[:, :3, 3]
         gpts = torch.einsum("snj,sij->sni", pts, R) + t[:, None, :]
         gpts = gpts.reshape(-1, 3)
+        if perm is not None:
+            gpts = gpts[perm]  # sorted-space tables (cfg.spatial_sort)
         nbr = gpts[nn]  # (M, K, 3)
         wsum = w8.sum(dim=1, keepdim=True)
         mean = (w8.unsqueeze(-1) * nbr).sum(dim=1) / wsum.clamp(min=1e-12)

@@ -262,6 +262,11 @@ class Config(Configurable):
 
         # TPU / parallelism.
         self.mesh_shape = None  # e.g. {'data': 8}; None = single device
+        # Lay the global point table out in spatial (Morton) order so the
+        # per-step neighborhood gathers read near-contiguous HBM rows
+        # (frozen permutation, exact gather backward). Single-device layout
+        # only; ignored under mesh_shape.
+        self.spatial_sort = False
         self.donate_buffers = True
         # Observability: write a jax.profiler trace of a few hot-loop steps
         # (open with TensorBoard / Perfetto); None disables.

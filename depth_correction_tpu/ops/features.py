@@ -34,11 +34,36 @@ __all__ = [
     "gather_neighbors",
     "gather_neighbors_transposed",
     "neighborhood_features",
+    "permute_rows",
     "compute_features",
     "vp_dispersion",
     "dir_dispersion",
     "mean_depth",
 ]
+
+
+@jax.custom_vjp
+def permute_rows(x: jax.Array, perm: jax.Array, inv: jax.Array) -> jax.Array:
+    """Row permutation ``x[perm]`` with an exact gather backward.
+
+    ``jnp.take``'s generic VJP is a scatter-add (serialized on TPU); a
+    permutation is a bijection, so its transpose is just the gather through
+    the inverse permutation. Used to lay the global point table out in
+    spatial (Morton) order for gather locality without paying a scatter in
+    the backward pass.
+    """
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return jnp.take(x, perm, axis=0), inv
+
+
+def _permute_rows_bwd(inv, g):
+    return jnp.take(g, inv, axis=0), None, None
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def gather_neighbors(values: jax.Array, neighbors: jax.Array) -> jax.Array:

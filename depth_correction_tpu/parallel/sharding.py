@@ -114,6 +114,12 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
     (ops/features.py) instead of XLA's serialized scatter-add; ICP
     correspondences shard along the per-pair point axis.
     """
+    if any(p is not None for p in (getattr(data, "point_perm", ()) or ())):
+        raise ValueError(
+            "spatial_sort is a single-device layout; prepare the data with "
+            "prepare_sequences(..., mesh=mesh) (or via cfg.mesh_shape, "
+            "which disables the sort) before sharding"
+        )
     point_sharded = NamedSharding(mesh, P(DATA_AXIS))
     pair_point_sharded = NamedSharding(mesh, P(None, DATA_AXIS))
     replicated = NamedSharding(mesh, P())

@@ -422,6 +422,55 @@ def symmetrize_neighbors(neighbors) -> jnp.ndarray:
     return out.reshape(g * chunk, k)[:m]
 
 
+def _part1by2(x):
+    """Spread 10 bits of each uint32 to every third bit (Morton helper)."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0xFF0000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+@jax.jit
+def spatial_sort_perm(points, valid, cell):
+    """Morton (z-order) permutation of the point table.
+
+    Sorting the merged global cloud by the Morton key of its coarse voxel
+    puts every neighborhood's points in a bounded address range, so the
+    per-step (Mq, K) position gathers read near-contiguous HBM rows instead
+    of scan-major random ones. The permutation is frozen (computed from the
+    establishment-time positions, like the neighborhoods themselves) and
+    applied in-step by :func:`ops.features.permute_rows`, whose backward is
+    the inverse gather — no scatter.
+
+    The grid is clamped to 1024 cells per axis (30-bit keys in uint32);
+    beyond that the cell auto-coarsens, which only widens the locality
+    granularity. Invalid (padding) rows sort to the tail.
+
+    :param points: (M, 3) establishment-time global positions.
+    :param valid: (M,) validity mask.
+    :param cell: target cell edge (m); e.g. 2*nn_r.
+    :return: (perm, inv) int32 — ``sorted = x[perm]``, ``inv[orig] = pos``.
+    """
+    p = jnp.asarray(points)
+    v = jnp.asarray(valid).reshape(-1)
+    lo = jnp.min(jnp.where(v[:, None], p, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(v[:, None], p, -jnp.inf), axis=0)
+    extent = jnp.maximum(jnp.max(hi - lo), 1e-6)
+    cell = jnp.maximum(jnp.asarray(cell, p.dtype), extent / 1024.0)
+    c = jnp.clip((p - lo) / cell, 0.0, 1023.0).astype(jnp.uint32)
+    key = (
+        (_part1by2(c[:, 0]) << 2)
+        | (_part1by2(c[:, 1]) << 1)
+        | _part1by2(c[:, 2])
+    )
+    key = jnp.where(v, key, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    inv = jnp.argsort(perm, stable=True).astype(jnp.int32)
+    return perm, inv
+
+
 def establish_neighborhoods(
     gcloud: Cloud, cfg: Config, k_max: Optional[int] = None, mesh=None
 ):

@@ -98,6 +98,11 @@ class TrainData:
     # icp_idx[i] (S-1, N) rows into scan j+1, icp_w[i] (S-1, N) inlier weights.
     icp_idx: tuple = ()
     icp_w: tuple = ()
+    # Spatial (Morton) layout of the merged point table (cfg.spatial_sort):
+    # (perm, inv) int32 pairs or None. When set, neighbors/query tables are
+    # in sorted space and the loss permutes the position table in-step
+    # (ops.features.permute_rows — exact gather backward).
+    point_perm: tuple = ()
 
 
 def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
@@ -127,6 +132,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
     off_transpose = []
     icp_idx = []
     icp_w = []
+    point_perm = []
     for ds in datasets:
         clouds, poses = [], []
         local_nns: List[jax.Array] = []
@@ -211,6 +217,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
             off_neighbors.append(None)
             off_weights.append(None)
             off_transpose.append(None)
+            point_perm.append(None)
             continue
         icp_idx.append(None)
         icp_w.append(None)
@@ -229,6 +236,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
             off_neighbors.append(None)
             off_weights.append(None)
             off_transpose.append(None)
+            point_perm.append(None)
             continue
         nn, w = establish_neighborhoods(gcloud, cfg, mesh=mesh)
         feat = compute_neighborhood_features(gcloud, nn, w, cfg)
@@ -236,6 +244,19 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
         # (reference: train.py:212-215).
         local_mask = feat.mask
         gmask = global_cloud_mask(feat, nn, w, cfg, mask=local_mask)
+
+        # Spatial (Morton) layout of the merged point table: the hot-loop
+        # position gathers then read near-contiguous HBM rows. The frozen
+        # permutation is applied in-step (make_loss_fn via permute_rows);
+        # the neighbor tables below are remapped into sorted space here.
+        # Single-device layout only — the sharded step owns its own.
+        pp = None
+        if cfg.spatial_sort and mesh is None:
+            from .preproc import spatial_sort_perm
+
+            cell = 2.0 * (cfg.nn_r or 0.0) or 4.0 * cfg.grid_res
+            pp = spatial_sort_perm(gcloud.get_points(), gcloud.valid, cell)
+        point_perm.append(pp)
 
         # Query-row compaction: only rows that enter the loss keep their
         # neighborhoods; the hot loop then gathers/eigendecomposes for the
@@ -249,10 +270,24 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
         m_total = int(gmask.shape[0])
         mq = pad_size(max(int(jnp.sum(gmask)), 1))
         qrows = jnp.nonzero(gmask, size=mq, fill_value=-1)[0].astype(jnp.int32)
+        if pp is not None:
+            # Query rows in Morton order too: consecutive rows then read
+            # overlapping neighborhoods (padding keeps sorting to the tail).
+            okey = jnp.where(
+                qrows >= 0,
+                jnp.take(pp[1], jnp.maximum(qrows, 0)),
+                jnp.iinfo(jnp.int32).max,
+            )
+            qrows = jnp.take(qrows, jnp.argsort(okey, stable=True))
         qvalid = qrows >= 0
         nn_c = jnp.where(
             qvalid[:, None], jnp.take(nn, jnp.maximum(qrows, 0), axis=0), -1
         )
+        if pp is not None:
+            # Neighbor ids into the SORTED table (positions gather from it).
+            nn_c = jnp.where(
+                nn_c >= 0, jnp.take(pp[1], jnp.maximum(nn_c, 0)), -1
+            )
         w_c = (nn_c >= 0).astype(jnp.asarray(w).dtype)
         masks.append(qvalid)
         neighbors.append(nn_c)
@@ -332,6 +367,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
         off_transpose=tuple(off_transpose),
         icp_idx=tuple(icp_idx),
         icp_w=tuple(icp_w),
+        point_perm=tuple(point_perm),
     )
 
 
@@ -490,7 +526,7 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
                     gcloud, data.neighbors[i], model, cfg
                 )
             else:
-                from .ops.features import neighborhood_features
+                from .ops.features import neighborhood_features, permute_rows
 
                 gcloud = global_cloud(batch, model=model, pose_deltas=delta)
                 t_nn = data.t_neighbors[i] if data.t_neighbors else None
@@ -499,8 +535,19 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
                 # Features over the compacted query rows only (fewer rows
                 # than the global cloud; the gather table is the full cloud).
                 qr = data.query_rows[i] if data.query_rows else None
+                pts = gcloud.get_points()
+                pp = data.point_perm[i] if data.point_perm else None
+                if pp is not None:
+                    # Morton-ordered table (cfg.spatial_sort): the neighbor
+                    # tables are already in sorted space; permute the
+                    # positions to match (backward = inverse gather).
+                    pts = permute_rows(pts, pp[0], pp[1])
+                    if qr is not None:
+                        qr = jnp.where(
+                            qr >= 0, jnp.take(pp[1], jnp.maximum(qr, 0)), -1
+                        )
                 f = neighborhood_features(
-                    gcloud.get_points(), data.neighbors[i], data.weights[i],
+                    pts, data.neighbors[i], data.weights[i],
                     scale=cfg.nn_scale, compute_normals=False,
                     t_idx=t_nn, t_slot=t_sl, t_w=t_w, query_rows=qr,
                 )

@@ -5,11 +5,27 @@ timing (phantom-safe through the axon tunnel). The cached pickle carries
 prebuilt transpose graphs; they are REBUILT here so the current bucket
 ladder is what gets measured (and its index inflation printed).
 
-History of measurements this harness settled:
+History of measurements this harness family settled:
 - u16-packed gathers: 2.3x faster isolated, 1.6x slower in-step (the
   16->32-bit recombination cannot fuse into the moments math) — rejected.
 - arithmetic-by-8 bucket ladder: transpose-pair inflation 1.50x -> 1.20x,
   step 88.5 -> 79.8 ms — adopted.
+- Morton point-table layout (cfg.spatial_sort): exact, but 82.9 vs
+  79.7 ms — the XLA TPU gather cost is per-INDEX, not locality-bound
+  (random vs establishment-coherent indices measure identically,
+  exp_gather_variants) — kept as opt-in, default off.
+- bf16 hi/lo split tables (2- and 3-way): gather 2.1x faster isolated but
+  73/78 ms in the real moments vs 47 — the bf16->f32 convert forces the
+  same vector relayout as u16 (exp_bf16_split) — rejected.
+- Pallas VMEM-resident gather: Mosaic does not lower vector gathers on
+  v5e (remote compiler crash; exp_pallas_gather*) — rejected.
+- lax.gather with slice_sizes (9 cell-window slices instead of 32 row
+  indices): 1700 ns/idx, 250x worse — XLA serializes sliced gathers
+  (exp_slice_gather) — rejected.
+- Conclusion: the step is gather-bound at ~6.7 ns/index fwd (~4 ns bwd);
+  fwd+bwd move ~15.3M indices -> ~76 ms, i.e. the measured 79.7 ms step
+  sits within ~1.3x (the transpose-pair inflation) of the per-index bound
+  of XLA's TPU gather primitive.
 """
 from __future__ import annotations
 

@@ -31,6 +31,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_dctpu_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
 
