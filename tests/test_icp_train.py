@@ -147,3 +147,26 @@ def test_eval_loss_all_includes_icp(tmp_path):
     assert np.isfinite(results[("train", "icp_loss")])
     csvs = [f for f in os.listdir(cfg.log_dir) if f.startswith("loss_eval_icp")]
     assert csvs, os.listdir(cfg.log_dir)
+
+
+def test_optimization_pair_of_scans_script(tmp_path):
+    """Pair-of-scans ICP demo recovers the injected bias and saves the
+    dashboard (reference scripts/optimization_pair_of_scans:60-176)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "optimization_pair_of_scans.py")
+    spec = importlib.util.spec_from_file_location("pair_icp", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.main(["--iters", "30", "--val-pair", "2",
+                    "--out", str(tmp_path)])
+    assert out is not None
+    model, hist = out
+    assert hist[-1, 1] < hist[0, 1]  # train pair loss decreases
+    assert hist[-1, 2] < hist[0, 2]  # held-out pair improves too
+    w = float(np.asarray(model.w)[0])
+    assert -0.0030 < w < -0.0010  # moves toward the injected -0.002
+    assert (tmp_path / "pair_icp_history.csv").exists()
