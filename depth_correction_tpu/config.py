@@ -139,7 +139,11 @@ class Config(Configurable):
         # TPUs are fp32-native; reference defaults to float64 on CPU
         # (config.py:179). Use float64 only for CPU parity validation.
         self.float_type = "float32"
-        self.device = None  # None = JAX default backend
+        # None = JAX default backend; else a platform name ("cpu", "tpu",
+        # optionally ":N") — train()/eval place data and params there, e.g.
+        # device="cpu" forces a float64 parity run off the accelerator
+        # (reference: config.py:180, model.to(device)).
+        self.device = None
 
         # Cloud preprocessing (reference: config.py:183-201).
         self.min_depth = 5.0
@@ -267,7 +271,6 @@ class Config(Configurable):
         # (frozen permutation, exact gather backward). Single-device layout
         # only; ignored under mesh_shape.
         self.spatial_sort = False
-        self.donate_buffers = True
         # Observability: write a jax.profiler trace of a few hot-loop steps
         # (open with TensorBoard / Perfetto); None disables.
         self.profile_dir = None
@@ -293,6 +296,18 @@ class Config(Configurable):
         import jax.numpy as jnp
 
         return getattr(jnp, self.float_type)
+
+    def jax_device(self):
+        """Resolve ``cfg.device`` ("cpu", "tpu", "tpu:1", ...) to a JAX
+        device, or None for the default backend."""
+        if not self.device:
+            return None
+        import jax
+
+        name = str(self.device)
+        platform, _, index = name.partition(":")
+        devices = jax.devices(platform)
+        return devices[int(index)] if index else devices[0]
 
     def sanitize(self):
         """Coerce YAML-string bound fields to lists (reference: config.py:305-336)."""

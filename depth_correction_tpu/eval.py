@@ -105,6 +105,13 @@ def eval_loss(
 
     import jax
 
+    # cfg.device pins data + params to an explicit backend, mirroring
+    # train() (reference: config.py:180). Ignored under mesh_shape.
+    device = cfg.jax_device() if mesh is None else None
+    if device is not None:
+        test_data = jax.device_put(test_data, device)
+        params = jax.device_put(params, device)
+
     if mesh is not None:
         from .parallel import make_sharded_loss_fn
 

@@ -724,6 +724,15 @@ def train(
 
     model = load_model(cfg=cfg)
     params = {"model": model}
+
+    # cfg.device pins data + params to an explicit backend (e.g. "cpu" for
+    # a float64 parity run on a TPU host; reference: config.py:180); jit
+    # follows the operands. Ignored under mesh_shape.
+    device = cfg.jax_device() if mesh is None else None
+    if device is not None:
+        train_data = jax.device_put(train_data, device)
+        val_data = jax.device_put(val_data, device) if val_data is not None else None
+        params = jax.device_put(params, device)
     train_deltas = init_pose_deltas(train_data, cfg)
     if train_deltas is not None:
         params["pose_deltas"] = train_deltas

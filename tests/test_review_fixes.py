@@ -160,3 +160,32 @@ def test_slam_mapper_target_grows_with_map():
     _, odom_t, _, _ = localization_errors(jnp.asarray(poses), jnp.asarray(odom))
     _, est_t, _, _ = localization_errors(jnp.asarray(poses), jnp.asarray(est))
     assert float(jnp.mean(est_t)) < 0.2 * float(jnp.mean(odom_t))
+
+
+def test_cfg_device_resolution_and_train(tmp_path):
+    """cfg.device ("cpu", "cpu:N") resolves to a JAX device and train()
+    places data/params there (reference: config.py:180 device knob)."""
+    import jax
+
+    from depth_correction_tpu.train import train
+
+    cfg = Config()
+    assert cfg.jax_device() is None  # default backend
+    cfg.device = "cpu:1"
+    assert cfg.jax_device() == jax.devices("cpu")[1]
+
+    cfg.log_dir = str(tmp_path)
+    cfg.float_type = "float32"
+    cfg.train_names = ["ground_plane/3"]
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 20.0, 0.25
+    cfg.nn_r, cfg.nn_k = 0.4, 0
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = []
+    cfg.min_valid_neighbors = 3
+    cfg.loss = "min_eigval_loss"
+    cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+    cfg.lr, cfg.n_opt_iters = 1e-3, 3
+    best = train(cfg)
+    assert best is not None
+    rows = np.loadtxt(str(tmp_path / "train_history.csv"), skiprows=1, ndmin=2)
+    assert rows[-1, 1] < rows[0, 1]
