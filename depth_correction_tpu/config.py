@@ -153,6 +153,8 @@ class Config(Configurable):
         self.nn_type = NeighborhoodType.ball
         self.nn_k = 0
         self.nn_r = 0.25
+        # Kept for config-file parity: the reference defines this knob but
+        # never consumes it either (reference: config.py:190).
         self.nn_grid_res = 0.5
         self.min_valid_neighbors = 5
         self.max_neighborhoods = None
@@ -177,7 +179,9 @@ class Config(Configurable):
         # analytic gradient's gather as cheap as the forward. No-op for
         # exact (uncapped) radius graphs, which are symmetric already.
         self.nn_symmetrize = True
-        # RANSAC plane neighborhoods (nn_type == plane).
+        # RANSAC plane neighborhoods (nn_type == plane). model_size is
+        # fixed to 3 (a plane) in practice — the reference force-sets it
+        # the same way (reference: preproc.py:263, segmentation.py:306).
         self.ransac_model_size = 3
         self.ransac_dist_thresh = 0.03
         self.num_ransac_iters = 500

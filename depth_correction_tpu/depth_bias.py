@@ -61,6 +61,7 @@ def fit_depth_bias(
 
 
 def plot_fit(x, y, y_corr=None, x_label="x", y_label="y", deg: int = 1,
+             show: bool = False,
              ax=None, path: Optional[str] = None):
     """Scatter + low-order polynomial fit, optionally before/after
     correction (reference: depth_bias.py:57-87).
@@ -97,6 +98,9 @@ def plot_fit(x, y, y_corr=None, x_label="x", y_label="y", deg: int = 1,
     fig.tight_layout()
     if path is not None:
         fig.savefig(path, dpi=120)
+    if show:  # interactive display (reference: cfg.show_results)
+        plt.show()
+    elif path is not None:
         plt.close(fig)
     return ax
 
@@ -137,6 +141,7 @@ def plot_depth_bias(clouds, cfg, model=None, out_dir: Optional[str] = None):
                     out_dir, "depth_bias_%02d_%s.png" % (i, tag)
                 )
             ax = plot_fit(x, norm_dist, y_corr=dist_corr, x_label=xl,
-                          y_label="normalized plane distance", path=path)
+                          y_label="normalized plane distance", path=path,
+                          show=bool(getattr(cfg, "show_results", False)))
             outs.append(path if path is not None else ax)
     return outs

@@ -313,6 +313,31 @@ def main(argv=None):
                 if "rendered_mesh" in n or n.endswith((".obj", ".ply"))
             ]
             cache = os.path.join(cfg.out_dir, "cache", "rendered_mesh")
+            if cfg.launch_prefix:
+                # Fan out as jobs of cfg.items_per_job datasets each
+                # (reference: main.py:396-453, renders_per_job).
+                per_job = max(1, int(cfg.items_per_job or 1))
+                for i_job in range(0, len(names), per_job):
+                    chunk = names[i_job : i_job + per_job]
+                    job_cfg = cfg.copy()
+                    job_cfg.launch_prefix = None
+                    job_cfg.train_names = chunk
+                    job_cfg.val_names = []
+                    job_cfg.test_names = []
+                    job_dir = os.path.join(cfg.out_dir, "render_jobs")
+                    os.makedirs(job_dir, exist_ok=True)
+                    cfg_path = os.path.join(job_dir, "render_%i.yaml" % i_job)
+                    job_cfg.to_yaml(cfg_path)
+                    launch_args = cfg.launch_prefix.format(
+                        log_dir=job_dir, name="render_%i" % i_job
+                    ).split()
+                    cmd = launch_args + [
+                        sys.executable, "-m", "depth_correction_tpu.main",
+                        "--from-yaml", cfg_path, "--", "render_meshes",
+                    ]
+                    print("Launching: %s" % " ".join(cmd))
+                    subprocess.run(cmd, check=True)
+                continue
             for name in names:
                 kw = (
                     {}

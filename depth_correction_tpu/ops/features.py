@@ -831,3 +831,13 @@ def mean_depth(cloud: Cloud, neighbors: jax.Array, weights: jax.Array) -> jax.Ar
     d = gather_neighbors(cloud.depth, neighbors)
     w_sum = jnp.maximum(jnp.sum(weights, axis=-1), 1e-12)
     return jnp.sum(weights * d, axis=-1) / w_sum
+
+
+def mean_vp_dist(cloud: Cloud, neighbors: jax.Array, weights: jax.Array) -> jax.Array:
+    """Weighted mean distance of neighbor viewpoints from their mean —
+    trainability statistic (reference: depth_cloud.py:336-346)."""
+    vps = gather_neighbors(cloud.vps, neighbors)  # (N, K, 3)
+    w_sum = jnp.maximum(jnp.sum(weights, axis=-1), 1e-12)
+    mean_vp = jnp.sum(weights[..., None] * vps, axis=-2) / w_sum[..., None]
+    vp_dists = jnp.linalg.norm(vps - mean_vp[..., None, :], axis=-1)
+    return jnp.sum(weights * vp_dists, axis=-1) / w_sum

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cloud import Cloud
-from .features import dir_dispersion, mean_depth, vp_dispersion
+from .features import dir_dispersion, mean_depth, mean_vp_dist, vp_dispersion
 
 __all__ = [
     "within_bounds",
@@ -241,4 +241,9 @@ def global_cloud_mask(
         md = mean_depth(cloud, neighbors, weights)
         ratio = vd / jnp.maximum(md, 1e-20) ** 2
         mask = mask & within_bounds(ratio, *cfg.vp_dispersion_to_depth2_bounds[:2])
+    if cfg.vp_dist_to_depth_bounds:
+        vp = mean_vp_dist(cloud, neighbors, weights)
+        md = mean_depth(cloud, neighbors, weights)
+        ratio = vp / jnp.maximum(md, 1e-20)
+        mask = mask & within_bounds(ratio, *cfg.vp_dist_to_depth_bounds[:2])
     return mask

@@ -358,6 +358,9 @@ def run_external_slam(cfg: Config, name: str, clouds: Sequence[Cloud],
             if cloud.mask is not None
             else np.ones(int(keep.sum()), bool),
             prior=np.asarray(prior_poses[i]),
+            # Frame the prior poses are expressed in (reference publishes
+            # clouds/paths in cfg.world_frame, ros.py:51-53).
+            frame=np.asarray(cfg.world_frame),
         )
     poses_csv = os.path.join(in_dir, "slam_poses_external.csv")
     cmd = cfg.slam_command.format(input_dir=in_dir, poses_csv=poses_csv)
@@ -398,6 +401,7 @@ def export_corrected_clouds(cfg: Config, out_dir: str,
                 normals=np.asarray(corrected.normals)[keep],
                 mask=np.asarray(corrected.mask)[keep],
                 pose=np.asarray(pose),
+                frame=np.asarray(cfg.world_frame),
             )
             manifest.append(path)
     return manifest

@@ -599,11 +599,15 @@ def make_optimizer(cfg: Config):
     """
     name = cfg.optimizer.lower()
     kwargs = dict(cfg.optimizer_kwargs or {})
+    # Positional optimizer args: the reference calls
+    # eval(cfg.optimizer)(params, *optimizer_args) (train.py:146-156) where
+    # the first positional of Adam/SGD/LBFGS is the learning rate.
+    lr = float(cfg.optimizer_args[0]) if cfg.optimizer_args else cfg.lr
     if name == "adam":
         betas = kwargs.pop("betas", (0.9, 0.999))
-        tx = optax.adam(cfg.lr, b1=betas[0], b2=betas[1], **kwargs)
+        tx = optax.adam(lr, b1=betas[0], b2=betas[1], **kwargs)
     elif name == "sgd":
-        tx = optax.sgd(cfg.lr, **kwargs)
+        tx = optax.sgd(lr, **kwargs)
     elif name == "lbfgs":
         memory_size = int(kwargs.pop("memory_size", 10))
         line_search = bool(kwargs.pop("line_search", True))
@@ -619,7 +623,7 @@ def make_optimizer(cfg: Config):
         else:
             tx = optax.chain(
                 optax.scale_by_lbfgs(memory_size=memory_size),
-                optax.scale_by_learning_rate(cfg.lr),
+                optax.scale_by_learning_rate(lr),
             )
     else:
         raise ValueError("Unknown optimizer: %s" % cfg.optimizer)

@@ -189,3 +189,69 @@ def test_cfg_device_resolution_and_train(tmp_path):
     assert best is not None
     rows = np.loadtxt(str(tmp_path / "train_history.csv"), skiprows=1, ndmin=2)
     assert rows[-1, 1] < rows[0, 1]
+
+
+def test_mean_vp_dist_and_vp_dist_to_depth_mask():
+    """mean_vp_dist matches the reference statistic (depth_cloud.py:336-346)
+    and cfg.vp_dist_to_depth_bounds gates the global mask."""
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.ops.features import mean_depth, mean_vp_dist
+    from depth_correction_tpu.ops.filters import global_cloud_mask
+
+    rng = np.random.default_rng(3)
+    n, k = 64, 8
+    vps = rng.standard_normal((n, 3))
+    dirs = rng.standard_normal((n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    depth = rng.uniform(1.0, 5.0, n)
+    cloud = Cloud(
+        vps=jnp.asarray(vps), dirs=jnp.asarray(dirs),
+        depth=jnp.asarray(depth), valid=jnp.ones(n, bool),
+    )
+    neighbors = rng.integers(0, n, (n, k))
+    weights = (rng.random((n, k)) > 0.3).astype(np.float64)
+    weights[:, 0] = 1.0
+
+    got = np.asarray(mean_vp_dist(cloud, jnp.asarray(neighbors),
+                                  jnp.asarray(weights)))
+    # numpy oracle: weighted mean distance of neighbor vps from their mean
+    w = weights
+    nb = vps[neighbors]
+    wsum = w.sum(-1)
+    mvp = (w[..., None] * nb).sum(-2) / wsum[..., None]
+    d = np.linalg.norm(nb - mvp[:, None], axis=-1)
+    want = (w * d).sum(-1) / wsum
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    md = np.asarray(mean_depth(cloud, jnp.asarray(neighbors),
+                               jnp.asarray(weights)))
+    ratio = want / md
+    thresh = float(np.median(ratio))
+
+    cfg = Config()
+    for f in ("min_valid_neighbors", "eigenvalue_bounds",
+              "eigenvalue_ratio_bounds", "dir_dispersion_bounds",
+              "vp_dispersion_bounds", "vp_dispersion_to_depth2_bounds"):
+        setattr(cfg, f, [] if f != "min_valid_neighbors" else 0)
+    cfg.vp_dist_to_depth_bounds = [thresh, float("inf")]
+    mask = np.asarray(global_cloud_mask(
+        cloud, jnp.asarray(neighbors), jnp.asarray(weights), cfg))
+    np.testing.assert_array_equal(mask, ratio >= thresh)
+
+
+def test_optimizer_args_positional_lr(tmp_path):
+    """cfg.optimizer_args[0] overrides the learning rate, matching the
+    reference's eval(cfg.optimizer)(params, *optimizer_args)
+    (reference: train.py:146-156)."""
+    from depth_correction_tpu.train import make_optimizer
+
+    cfg = Config()
+    cfg.optimizer = "sgd"
+    cfg.lr = 1e-3
+    cfg.optimizer_args = [0.5]
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones(2)}
+    state = tx.init(params)
+    grads = {"w": jnp.ones(2)}
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.5, rtol=1e-6)
