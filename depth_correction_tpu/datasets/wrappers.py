@@ -98,14 +98,23 @@ class OverridePosesDataset(TransformingDataset):
 
         super().__init__(dataset)
         self.poses_path = poses_path
-        _, poses = read_poses(poses_path)
+        ids, poses = read_poses(poses_path)
         n = len(dataset)
-        if len(poses) < n:
-            raise ValueError(
-                "poses file %s holds %d poses for %d scans"
-                % (poses_path, len(poses), n)
-            )
-        self.poses = [np.asarray(p, np.float64) for p in poses[:n]]
+        if len(poses) != n:
+            # Align by pose id when possible (a CSV written for the full
+            # sequence reused with a narrower slice); positional truncation
+            # would silently assign another scan's pose to every scan.
+            by_id = {str(i): p for i, p in zip(ids, poses)}
+            ds_ids = [str(i) for i in getattr(dataset, "ids", range(n))]
+            if len(ds_ids) == n and all(i in by_id for i in ds_ids):
+                poses = [by_id[i] for i in ds_ids]
+            else:
+                raise ValueError(
+                    "poses file %s holds %d poses for %d scans and the "
+                    "scan ids do not match the pose ids"
+                    % (poses_path, len(poses), n)
+                )
+        self.poses = [np.asarray(p, np.float64) for p in poses]
 
     def transform_pose(self, pose, item=None):
         if item is None:

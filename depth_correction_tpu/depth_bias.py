@@ -100,7 +100,10 @@ def plot_fit(x, y, y_corr=None, x_label="x", y_label="y", deg: int = 1,
         fig.savefig(path, dpi=120)
     if show:  # interactive display (reference: cfg.show_results)
         plt.show()
-    elif path is not None:
+    if path is not None:
+        # Close even after show(): on non-interactive backends show() is a
+        # no-op and plot_depth_bias calls this per (cloud, tag) — leaking a
+        # figure per scan grows unbounded over a long eval run.
         plt.close(fig)
     return ax
 

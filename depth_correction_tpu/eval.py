@@ -87,7 +87,9 @@ def eval_loss(
         if mesh is not None:
             from .parallel import shard_train_data
 
-            test_data = shard_train_data(test_data, mesh)
+            test_data = shard_train_data(
+                test_data, mesh, analytic_vjp=cfg.nn_scale is None
+            )
 
     params = {"model": model}
     # Pose deltas: loaded from checkpoint or zero-initialized

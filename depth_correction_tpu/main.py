@@ -197,7 +197,7 @@ def eval_configs(cfg: Config, pattern: str, arg: str = "all"):
         if cfg.log_dir and ("{dirname}" in cfg.log_dir or "{basename}" in cfg.log_dir):
             run.log_dir = cfg.log_dir.format(dirname=dirname, basename=basename)
         else:
-            run.log_dir = dirname
+            run.log_dir = dirname or "."
         os.makedirs(run.log_dir, exist_ok=True)
         if cfg.eigenvalue_bounds:
             run.eigenvalue_bounds = cfg.eigenvalue_bounds

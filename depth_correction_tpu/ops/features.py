@@ -190,18 +190,11 @@ def build_bucketed_transpose(
     starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
     within = np.arange(len(j)) - starts[j]
 
-    # Bucket width per point: smallest ladder width >= deg. The ladder
-    # steps by 8 up to 64 (radius graphs capped at K<=64 in-degree pad at
-    # most 7 slots per row — measured 1.43x total index inflation with the
-    # old power-of-two ladder vs ~1.15x with this one), then doubles so
-    # pathological in-degrees stay 2x-bounded.
+    # Bucket width per point: smallest ladder width >= deg (the ladder is
+    # shared with the device builder via _pair_widths so the two cannot
+    # drift — tests/test_transpose_gather.py enforces bitwise parity).
     max_deg = int(deg.max()) if len(j) else 1
-    widths = []
-    wd = min_width
-    while wd < max_deg:
-        widths.append(wd)
-        wd = wd + 8 if wd < 64 else wd * 2
-    widths.append(max(wd, min_width))
+    widths = _pair_widths(max(max_deg, 1), min_width)
     widths_arr = np.asarray(widths)
     # width index for each point with deg > 0
     width_of = np.searchsorted(widths_arr, np.maximum(deg, 1))

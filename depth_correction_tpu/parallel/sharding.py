@@ -57,29 +57,39 @@ def _stacked_shard_transposes(neighbors, weights, num_points: int, n_devices: in
     block. The per-point gradient sums are linear in the transpose pairs, so
     shard-local partial gradients psum (via shard_map's replicated-input
     transpose rule) to the exact global gradient.
-    """
-    from ..ops.features import build_transpose_graph
 
-    nb = np.asarray(neighbors)
-    w = np.asarray(weights)
-    mq = nb.shape[0]
+    Built ON DEVICE (one argsort + gathers per shard,
+    ``ops.features.build_transpose_graph_device``): the (M, K) neighbor and
+    weight tables never round-trip to host RAM, so prep memory stays
+    mesh-scaled like the tables themselves. Host transfer is one scalar
+    (max in-degree) per shard, which sizes the static Kt.
+    """
+    from ..ops.features import build_transpose_graph_device
+
+    mq = neighbors.shape[0]
     assert mq % n_devices == 0, (mq, n_devices)
     qs = mq // n_devices
+    neighbors = jnp.asarray(neighbors)
+    weights = jnp.asarray(weights)
     parts = []
     for d in range(n_devices):
-        t_idx, _, t_w = build_transpose_graph(
-            nb[d * qs : (d + 1) * qs],
+        t_idx, _, t_w = build_transpose_graph_device(
+            neighbors[d * qs : (d + 1) * qs],
             num_points=num_points,
-            weights=w[d * qs : (d + 1) * qs],
+            weights=weights[d * qs : (d + 1) * qs],
         )
-        parts.append((np.asarray(t_idx), np.asarray(t_w)))
+        parts.append((t_idx, t_w))
     kt = max(p[0].shape[1] for p in parts)
-    t_idx_all = np.full((n_devices * num_points, kt), -1, np.int32)
-    t_w_all = np.zeros((n_devices * num_points, kt), w.dtype)
-    for d, (ti, tw) in enumerate(parts):
-        t_idx_all[d * num_points : d * num_points + ti.shape[0], : ti.shape[1]] = ti
-        t_w_all[d * num_points : d * num_points + tw.shape[0], : tw.shape[1]] = tw
-    return jnp.asarray(t_idx_all), jnp.asarray(t_w_all)
+    t_idx_all = jnp.concatenate(
+        [
+            jnp.pad(ti, ((0, 0), (0, kt - ti.shape[1])), constant_values=-1)
+            for ti, _ in parts
+        ]
+    )
+    t_w_all = jnp.concatenate(
+        [jnp.pad(tw, ((0, 0), (0, kt - tw.shape[1]))) for _, tw in parts]
+    )
+    return t_idx_all, t_w_all
 
 
 def batch_specs(batch):
@@ -175,7 +185,7 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
             t_neighbors.append(None)
             t_weights.append(None)
         else:
-            m = int(np.prod(np.asarray(data.batches[i].cloud.depth).shape))
+            m = int(np.prod(data.batches[i].cloud.depth.shape))
             t_idx, t_w = _stacked_shard_transposes(nn, data.weights[i], m, n_dev)
             t_neighbors.append(place(t_idx, point_sharded))
             t_weights.append(place(t_w, point_sharded))
@@ -188,11 +198,11 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
             continue
         # Dynamic loss_offset: shard the local neighborhoods like the global
         # ones, with their own per-shard transposes for the analytic VJP.
-        m = int(np.prod(np.asarray(data.batches[i].cloud.depth).shape))
-        ow = np.asarray(data.off_weights[i])
+        m = int(np.prod(data.batches[i].cloud.depth.shape))
+        ow = jnp.asarray(data.off_weights[i])
         ot_idx, ot_w = _stacked_shard_transposes(onn, ow, m, n_dev)
-        off_nn.append(place(jnp.asarray(np.asarray(onn)), point_sharded))
-        off_w.append(place(jnp.asarray(ow), point_sharded))
+        off_nn.append(place(jnp.asarray(onn), point_sharded))
+        off_w.append(place(ow, point_sharded))
         off_t.append(place(ot_idx, point_sharded))
         off_tw.append(place(ot_w, point_sharded))
 

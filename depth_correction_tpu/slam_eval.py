@@ -305,8 +305,15 @@ def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
             # read_poses / OverridePosesDataset (the PoseProvider axis).
             from .datasets.asl_laser import write_poses
 
-            os.makedirs(os.path.dirname(cfg.slam_poses_csv) or ".", exist_ok=True)
-            write_poses(list(range(len(est))), est, cfg.slam_poses_csv)
+            poses_path = cfg.slam_poses_csv
+            if len(test_datasets) > 1:
+                # One file per sequence (reference layout: the CSV lives in
+                # a per-sequence subdir, config.py:104-108) — a shared path
+                # would be overwritten by each later sequence.
+                head, base = os.path.split(poses_path)
+                poses_path = os.path.join(head, name.replace("/", "_"), base)
+            os.makedirs(os.path.dirname(poses_path) or ".", exist_ok=True)
+            write_poses(list(range(len(est))), est, poses_path)
     return results
 
 

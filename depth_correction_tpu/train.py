@@ -324,8 +324,13 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
             ow = (onn >= 0).astype(jnp.asarray(w).dtype)
             off_neighbors.append(onn)
             off_weights.append(ow)
+            # Under a mesh the sharded step builds its own PER-SHARD
+            # transposes (shard_train_data); the single-device graph would
+            # be discarded.
             off_transpose.append(
-                build_bucketed_transpose_device(
+                None
+                if mesh is not None
+                else build_bucketed_transpose_device(
                     onn, num_points=s_dim * n_dim, weights=ow
                 )
             )
@@ -334,7 +339,13 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
             off_weights.append(None)
             off_transpose.append(None)
 
-        if cfg.nn_scale is not None:
+        if mesh is not None:
+            # Same: shard_train_data replaces these with per-shard stacked
+            # transposes (or skips them for nn_scale, whose weights
+            # recompute in-step).
+            t_neighbors.append(None)
+            t_slots.append(None)
+        elif cfg.nn_scale is not None:
             # The Gaussian-reweighted path recomputes weights in-step, so
             # the frozen-weight analytic moments backward does not apply;
             # carry the PAIR-level transpose instead, which makes the
@@ -722,9 +733,12 @@ def train(
     if mesh is not None:
         from .parallel import make_sharded_loss_fn, shard_train_data
 
-        train_data = shard_train_data(train_data, mesh)
+        # nn_scale recomputes weights in-step, so the frozen-weight analytic
+        # moments backward (and its per-shard transposes) does not apply.
+        vjp = cfg.nn_scale is None
+        train_data = shard_train_data(train_data, mesh, analytic_vjp=vjp)
         if val_data is not None:
-            val_data = shard_train_data(val_data, mesh)
+            val_data = shard_train_data(val_data, mesh, analytic_vjp=vjp)
 
     model = load_model(cfg=cfg)
     params = {"model": model}

@@ -149,3 +149,37 @@ def test_eval_configs_glob(tmp_path, capsys):
     assert os.path.exists(csv)
     line = open(csv).read().split()
     assert line[0] == "ground_plane/4" and np.isfinite(float(line[1]))
+
+
+def test_override_poses_aligns_by_id_or_raises(tmp_path):
+    """A poses CSV longer than the dataset must align by pose id, never by
+    position (a full-sequence CSV reused with a narrower slice would
+    otherwise silently shift every pose by one scan)."""
+    import numpy as np
+    import pytest
+
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.datasets.asl_laser import write_poses
+    from depth_correction_tpu.datasets.wrappers import OverridePosesDataset
+
+    cfg = Config()
+    ds = create_dataset("ground_plane/3", cfg, noisy=False)
+    ids = list(ds.ids)
+    extra_ids = ids + [max(int(i) for i in ids) + 1, max(int(i) for i in ids) + 2]
+    poses = [np.eye(4) + 0.0 for _ in extra_ids]
+    for i, p in enumerate(poses):
+        p[0, 3] = float(i)  # distinguishable translations
+    path = str(tmp_path / "poses.csv")
+    write_poses(extra_ids, np.stack(poses), path)
+
+    wrapped = OverridePosesDataset(ds, path)
+    for k in range(len(ds)):
+        _, pose = wrapped[k]
+        assert float(pose[0, 3]) == float(k)  # id-aligned, not truncated
+
+    # Mismatched ids cannot align -> hard error, no silent assignment.
+    bad = str(tmp_path / "bad.csv")
+    write_poses([50, 51, 52, 53], np.stack(poses[:4]), bad)
+    with pytest.raises(ValueError):
+        OverridePosesDataset(ds, bad)

@@ -192,3 +192,30 @@ def test_perturb_odometry_statistics():
     # Zero covariance = exact chain.
     clean = perturb_odometry(poses, [0.0] * 6, seed=1)
     np.testing.assert_allclose(clean, poses, atol=1e-12)
+
+
+def test_eval_slam_multi_sequence_poses_per_file(tmp_path):
+    """With several test sequences and one slam_poses_csv template, each
+    sequence gets its OWN pose file (reference layout: per-sequence subdir,
+    config.py:104-108) — a shared path would be overwritten per sequence."""
+    from depth_correction_tpu.config import slam_poses_csv
+    from depth_correction_tpu.datasets.asl_laser import read_poses
+    from depth_correction_tpu.slam_eval import eval_slam
+
+    cfg = box_cfg()
+    cfg.test_names = [
+        "open_box/n_3_size_10_10_5_height_1_density_40",
+        "open_box/n_4_size_10_10_5_height_1_density_40",
+    ]
+    cfg.odom_cov = [1e-6, 1e-6, 1e-6, 1e-4, 1e-4, 1e-4]
+    cfg.log_dir = str(tmp_path)
+    cfg.slam_poses_csv = slam_poses_csv(cfg.log_dir, "", cfg.slam)
+    results = eval_slam(cfg, apply_correction=False)
+    assert len(results) == 2
+    head, base = os.path.split(cfg.slam_poses_csv)
+    lengths = {}
+    for name in results:
+        path = os.path.join(head, name.replace("/", "_"), base)
+        ids, est = read_poses(path)
+        lengths[name] = len(est)
+    assert sorted(lengths.values()) == [3, 4]
