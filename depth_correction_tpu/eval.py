@@ -88,7 +88,8 @@ def eval_loss(
             from .parallel import shard_train_data
 
             test_data = shard_train_data(
-                test_data, mesh, analytic_vjp=cfg.nn_scale is None
+                test_data, mesh, analytic_vjp=cfg.nn_scale is None,
+                pair_transposes=cfg.nn_scale is not None,
             )
 
     params = {"model": model}

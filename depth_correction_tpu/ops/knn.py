@@ -168,6 +168,79 @@ def nearest_neighbors(
     return jnp.where(missing, jnp.inf, d), idx
 
 
+def nearest_neighbors_sharded(
+    points: jax.Array,
+    query: Optional[jax.Array] = None,
+    k: int = 1,
+    r: Optional[float] = None,
+    valid_points: Optional[jax.Array] = None,
+    valid_query: Optional[jax.Array] = None,
+    mesh=None,
+    tile: int = _TILE,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`nearest_neighbors` with the QUERY axis sharded over a mesh.
+
+    Each device scans its 1/D query slice against the replicated (N, 3)
+    point table (O(N*3) floats — the (Q, k) outputs, the big tables, are
+    born sharded and never replicate), the kNN analogue of
+    ``grid_hash.grid_radius_neighbors_sharded``. Results are bitwise
+    identical to the single-device scan.
+
+    :param mesh: 1-D ``jax.sharding.Mesh``; its first axis shards queries.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    assert mesh is not None and len(mesh.axis_names) == 1, mesh
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    pad_points, q, pad_valid, valid_query, _ = _prepare(
+        points, query, valid_points, valid_query, tile
+    )
+    nq = q.shape[0]
+    if valid_query is None:
+        valid_query = jnp.ones(nq, bool)
+    # Pad so each device holds a whole number of query chunks.
+    pad = (-nq) % (n_dev * _QUERY_CHUNK)
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, 3), q.dtype)])
+        valid_query = jnp.concatenate([valid_query, jnp.zeros(pad, bool)])
+
+    # Point tables ride as explicit replicated ARGUMENTS (closure constants
+    # get literal-pooled into the program — see CLAUDE.md).
+    def body(q_s, qv_s, pts, val):
+        outs = [
+            _knn_tiled(pts, q_s[i : i + _QUERY_CHUNK], val, k, tile)
+            for i in range(0, q_s.shape[0], _QUERY_CHUNK)
+        ]
+        d2 = jnp.concatenate([o[0] for o in outs])
+        idx = jnp.concatenate([o[1] for o in outs])
+        if r is not None:
+            within = d2 <= jnp.asarray(r, d2.dtype) ** 2
+            idx = jnp.where(within, idx, -1)
+            d2 = jnp.where(within, d2, jnp.inf)
+        idx = jnp.where(qv_s[:, None], idx, -1)
+        d2 = jnp.where(qv_s[:, None], d2, jnp.inf)
+        missing = jnp.isinf(d2)
+        d = jnp.sqrt(jnp.where(missing, 0.0, d2))
+        return jnp.where(missing, jnp.inf, d), idx
+
+    ps = PartitionSpec(axis)
+    pr = PartitionSpec()
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(ps, ps, pr, pr),
+        out_specs=(ps, ps),
+        check_vma=False,
+    )
+    qs = jax.device_put(q, NamedSharding(mesh, ps))
+    qvs = jax.device_put(valid_query, NamedSharding(mesh, ps))
+    d, idx = sharded(qs, qvs, pad_points, pad_valid)
+    return d[:nq], idx[:nq]
+
+
 def radius_neighbors(
     points: jax.Array,
     query: Optional[jax.Array] = None,

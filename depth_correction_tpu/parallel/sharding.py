@@ -92,6 +92,41 @@ def _stacked_shard_transposes(neighbors, weights, num_points: int, n_devices: in
     return t_idx_all, t_w_all
 
 
+def _stacked_shard_pair_transposes(neighbors, num_points: int, n_devices: int):
+    """PAIR-level per-device transposes (t_idx, t_slot stacked to (D*M, Kt)).
+
+    For the Gaussian-reweighted path (nn_scale), whose weights recompute
+    in-step: the frozen-weight analytic moments backward does not apply, but
+    the neighbor GATHER's backward can still ride a transpose graph
+    (``ops.features._gather_T``) instead of XLA's serialized scatter-add —
+    the same design the single-device nn_scale path uses
+    (train.prepare_sequences, build_transpose_graph_device).
+    """
+    from ..ops.features import build_transpose_graph_device
+
+    mq = neighbors.shape[0]
+    assert mq % n_devices == 0, (mq, n_devices)
+    qs = mq // n_devices
+    neighbors = jnp.asarray(neighbors)
+    parts = [
+        build_transpose_graph_device(
+            neighbors[d * qs : (d + 1) * qs], num_points=num_points
+        )
+        for d in range(n_devices)
+    ]
+    kt = max(p[0].shape[1] for p in parts)
+
+    def padcat(xs):
+        return jnp.concatenate(
+            [
+                jnp.pad(x, ((0, 0), (0, kt - x.shape[1])), constant_values=-1)
+                for x in xs
+            ]
+        )
+
+    return padcat([p[0] for p in parts]), padcat([p[1] for p in parts])
+
+
 def batch_specs(batch):
     """PartitionSpec pytree for a :class:`SequenceBatch`: cloud fields split
     along the padded scan-point axis N (axis 1), the (S, 4, 4) poses and any
@@ -107,7 +142,7 @@ def batch_specs(batch):
 
 
 def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
-                     shard_points: bool = True):
+                     shard_points: bool = True, pair_transposes: bool = False):
     """Place the training tables on the mesh, sharded along their point axes.
 
     With ``shard_points`` (default), the scan batches themselves — the
@@ -123,6 +158,10 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
     the sharded backward uses the scatter-free analytic moments VJP
     (ops/features.py) instead of XLA's serialized scatter-add; ICP
     correspondences shard along the per-pair point axis.
+
+    With ``pair_transposes`` (for nn_scale, whose in-step reweighting rules
+    out the frozen-weight moments VJP), PAIR-level (t_idx, t_slot) shard
+    transposes make the neighbor gather's backward scatter-free instead.
     """
     if any(p is not None for p in (getattr(data, "point_perm", ()) or ())):
         raise ValueError(
@@ -175,20 +214,30 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
         )
 
     t_neighbors = []
+    t_slots = []
     t_weights = []
     off_nn = []
     off_w = []
     off_t = []
     off_tw = []
     for i, nn in enumerate(data.neighbors):
-        if not analytic_vjp or nn is None or hasattr(nn, "member_idx"):
-            t_neighbors.append(None)
+        plain = nn is not None and not hasattr(nn, "member_idx")
+        if plain and pair_transposes:
+            m = int(np.prod(data.batches[i].cloud.depth.shape))
+            t_idx, t_slot = _stacked_shard_pair_transposes(nn, m, n_dev)
+            t_neighbors.append(place(t_idx, point_sharded))
+            t_slots.append(place(t_slot, point_sharded))
             t_weights.append(None)
-        else:
+        elif plain and analytic_vjp:
             m = int(np.prod(data.batches[i].cloud.depth.shape))
             t_idx, t_w = _stacked_shard_transposes(nn, data.weights[i], m, n_dev)
             t_neighbors.append(place(t_idx, point_sharded))
+            t_slots.append(None)
             t_weights.append(place(t_w, point_sharded))
+        else:
+            t_neighbors.append(None)
+            t_slots.append(None)
+            t_weights.append(None)
         onn = data.off_neighbors[i] if data.off_neighbors else None
         if onn is None:
             off_nn.append(None)
@@ -197,10 +246,15 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
             off_tw.append(None)
             continue
         # Dynamic loss_offset: shard the local neighborhoods like the global
-        # ones, with their own per-shard transposes for the analytic VJP.
+        # ones, with their own per-shard transposes for the analytic VJP
+        # (or pair-level ones under nn_scale; the loss distinguishes the two
+        # by the second table's dtype — slots are int32, weights float).
         m = int(np.prod(data.batches[i].cloud.depth.shape))
         ow = jnp.asarray(data.off_weights[i])
-        ot_idx, ot_w = _stacked_shard_transposes(onn, ow, m, n_dev)
+        if pair_transposes:
+            ot_idx, ot_w = _stacked_shard_pair_transposes(onn, m, n_dev)
+        else:
+            ot_idx, ot_w = _stacked_shard_transposes(onn, ow, m, n_dev)
         off_nn.append(place(jnp.asarray(onn), point_sharded))
         off_w.append(place(ow, point_sharded))
         off_t.append(place(ot_idx, point_sharded))
@@ -234,7 +288,7 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
             for m, n in zip(data.masks, data.neighbors)
         ),
         t_neighbors=tuple(t_neighbors),
-        t_slots=tuple(None for _ in data.neighbors),
+        t_slots=tuple(t_slots),
         t_weights=tuple(t_weights),
         off_neighbors=tuple(off_nn),
         off_weights=tuple(off_w),
@@ -323,8 +377,8 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         return pw
 
     def seq_loss(params, batch, neighbors, weights, mask, t_idx, t_w,
-                 off_nn=None, off_w=None, off_t=None, off_tw=None,
-                 qr=None, points_sharded=False):
+                 t_slot=None, off_nn=None, off_w=None, off_t=None,
+                 off_tw=None, off_slot=None, qr=None, points_sharded=False):
         """Masked (sum, count) of the pointwise loss, psum-reduced."""
         model = params["model"]
         # loss_fn below narrows pose_deltas to a 1-tuple holding this
@@ -333,11 +387,14 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         delta = deltas[0] if deltas is not None else None
         points = _global_points_from_shard(batch, model, delta, points_sharded)
         # Sharded: features of my point shard only; the analytic backward
-        # rides this shard's transpose graph (scatter-free), and shard_map's
-        # replicated-input transpose psums the partial point gradients.
+        # rides this shard's transpose graph (scatter-free: the moments VJP
+        # via (t_idx, t_w), or the pair-level gather VJP via (t_idx, t_slot)
+        # under nn_scale), and shard_map's replicated-input transpose psums
+        # the partial point gradients.
         feats = neighborhood_features(
             points, neighbors, weights, scale=cfg.nn_scale,
-            compute_normals=False, t_idx=t_idx, t_w=t_w, query_rows=qr,
+            compute_normals=False, t_idx=t_idx, t_slot=t_slot, t_w=t_w,
+            query_rows=qr,
         )
         pointwise = _pointwise_of(feats)
 
@@ -369,7 +426,8 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
             lpts = lpts.reshape(-1, lpts.shape[-1])
             off_feats = neighborhood_features(
                 lpts, off_nn, off_w, scale=cfg.nn_scale,
-                compute_normals=False, t_idx=off_t, t_w=off_tw, query_rows=qr,
+                compute_normals=False, t_idx=off_t, t_slot=off_slot,
+                t_w=off_tw, query_rows=qr,
             )
             pointwise = pointwise - _pointwise_of(off_feats)
 
@@ -382,9 +440,15 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
 
     _cache = {}
 
-    def _sharded(with_t: bool, with_off: bool, with_qr: bool, ps: bool, batch):
-        """shard_map wrapper per arg combination (specs must match arity)."""
-        key = (with_t, with_off, with_qr, ps,
+    def _sharded(with_t: bool, pair: bool, with_off: bool, pair_off: bool,
+                 with_qr: bool, ps: bool, batch):
+        """shard_map wrapper per arg combination (specs must match arity).
+
+        ``pair``/``pair_off``: the second transpose table is (int32) slots
+        for the pair-level gather VJP (nn_scale) rather than transposed
+        weights for the moments VJP.
+        """
+        key = (with_t, pair, with_off, pair_off, with_qr, ps,
                jax.tree_util.tree_structure(batch))
         if key in _cache:
             return _cache[key]
@@ -399,16 +463,26 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
 
         def body(params, batch, nn, w, mask, *rest):
             j = 0
-            t_i = t_w_ = None
+            t_i = t_w_ = t_s = None
             if with_t:
-                t_i, t_w_ = rest[0], rest[1]
+                t_i = rest[0]
+                if pair:
+                    t_s = rest[1]
+                else:
+                    t_w_ = rest[1]
                 j = 2
-            off = (None, None, None, None)
+            off_nn_ = off_w_ = off_t_ = off_tw_ = off_s_ = None
             if with_off:
-                off = rest[j : j + 4]
+                off_nn_, off_w_, off_t_ = rest[j], rest[j + 1], rest[j + 2]
+                if pair_off:
+                    off_s_ = rest[j + 3]
+                else:
+                    off_tw_ = rest[j + 3]
                 j += 4
             qr = rest[j] if with_qr else None
-            return seq_loss(params, batch, nn, w, mask, t_i, t_w_, *off,
+            return seq_loss(params, batch, nn, w, mask, t_i, t_w_, t_slot=t_s,
+                            off_nn=off_nn_, off_w=off_w_, off_t=off_t_,
+                            off_tw=off_tw_, off_slot=off_s_,
                             qr=qr, points_sharded=ps)
 
         fn = jax.shard_map(
@@ -439,31 +513,35 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
                 p["pose_deltas"] = (deltas[i],)
             t_idx = data.t_neighbors[i] if data.t_neighbors else None
             t_w = data.t_weights[i] if data.t_weights else None
+            t_slot = data.t_slots[i] if data.t_slots else None
             # Sharded transposes are plain stacked arrays; a BucketedTranspose
             # here means the data was not prepared by shard_train_data. The
             # Gaussian re-weighting (nn_scale) recomputes weights in-step, so
-            # the frozen-weight analytic backward does not apply.
-            with_t = (
-                not with_scale
-                and t_idx is not None
-                and t_w is not None
-                and not hasattr(t_idx, "idx")
-            )
+            # the frozen-weight analytic moments backward does not apply —
+            # under nn_scale the PAIR-level (t_idx, t_slot) tables (built by
+            # shard_train_data(pair_transposes=True)) make the neighbor
+            # gather's backward scatter-free instead.
+            plain_t = t_idx is not None and not hasattr(t_idx, "idx")
+            moments_t = not with_scale and plain_t and t_w is not None
+            pair_t = with_scale and plain_t and t_slot is not None
+            use_t = moments_t or pair_t
             onn = data.off_neighbors[i] if data.off_neighbors else None
             ot = data.off_transpose[i] if data.off_transpose else None
             with_off = onn is not None and isinstance(ot, tuple)
+            pair_off = with_off and jnp.issubdtype(ot[1].dtype, jnp.integer)
             qr = data.query_rows[i] if (with_scale and data.query_rows) else None
             # Placement is a property of the BOUND data (decided at
             # make_sharded_loss_fn time — inside jit the leaves are tracers).
             ps = ps_flags[i]
             args = [p, batch, data.neighbors[i], data.weights[i], data.masks[i]]
-            if with_t:
-                args += [t_idx, t_w]
+            if use_t:
+                args += [t_idx, t_slot if pair_t else t_w]
             if with_off:
                 args += [onn, data.off_weights[i], ot[0], ot[1]]
             if qr is not None:
                 args += [qr]
-            s, c = _sharded(with_t, with_off, qr is not None, ps, batch)(*args)
+            s, c = _sharded(use_t, pair_t, with_off, pair_off,
+                            qr is not None, ps, batch)(*args)
             total = total + s
             count = count + c
         return total / jnp.maximum(count, 1)

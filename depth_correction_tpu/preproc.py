@@ -502,14 +502,27 @@ def establish_neighborhoods(
     if getattr(cfg, "nn_backend", None) in ("scipy", "native"):
         idx, weights = _host_neighbors(points, gcloud.valid, cfg, k_max=k_max)
     elif cfg.nn_k:
-        _, idx = nearest_neighbors(
-            points,
-            points,
-            k=int(cfg.nn_k),
-            r=cfg.nn_r or None,
-            valid_points=gcloud.valid,
-            valid_query=gcloud.valid,
-        )
+        if mesh is not None:
+            from .ops.knn import nearest_neighbors_sharded
+
+            _, idx = nearest_neighbors_sharded(
+                points,
+                points,
+                k=int(cfg.nn_k),
+                r=cfg.nn_r or None,
+                valid_points=gcloud.valid,
+                valid_query=gcloud.valid,
+                mesh=mesh,
+            )
+        else:
+            _, idx = nearest_neighbors(
+                points,
+                points,
+                k=int(cfg.nn_k),
+                r=cfg.nn_r or None,
+                valid_points=gcloud.valid,
+                valid_query=gcloud.valid,
+            )
         # Pure kNN stays one-sided (reference semantics); only radius
         # searches truncated by nn_max_neighbors get mutual trimming.
         weights = None

@@ -734,11 +734,16 @@ def train(
         from .parallel import make_sharded_loss_fn, shard_train_data
 
         # nn_scale recomputes weights in-step, so the frozen-weight analytic
-        # moments backward (and its per-shard transposes) does not apply.
+        # moments backward does not apply — pair-level shard transposes make
+        # its neighbor-gather backward scatter-free instead.
         vjp = cfg.nn_scale is None
-        train_data = shard_train_data(train_data, mesh, analytic_vjp=vjp)
+        train_data = shard_train_data(
+            train_data, mesh, analytic_vjp=vjp, pair_transposes=not vjp
+        )
         if val_data is not None:
-            val_data = shard_train_data(val_data, mesh, analytic_vjp=vjp)
+            val_data = shard_train_data(
+                val_data, mesh, analytic_vjp=vjp, pair_transposes=not vjp
+            )
 
     model = load_model(cfg=cfg)
     params = {"model": model}

@@ -302,6 +302,20 @@ def test_sharded_nn_scale_matches_single_device():
     np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5)
 
+    # Pair-level shard transposes (what train()/eval_loss() build under
+    # nn_scale): scatter-free gather backward, same value and gradient.
+    paired = shard_train_data(data, mesh, analytic_vjp=False,
+                              pair_transposes=True)
+    assert paired.t_slots[0] is not None and paired.t_weights[0] is None
+
+    def multi_pair(w):
+        p = {"model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))}
+        return make_sharded_loss_fn(paired, cfg, mesh)(p)
+
+    v_p, g_p = jax.jit(jax.value_and_grad(multi_pair))(w0)
+    np.testing.assert_allclose(float(v_p), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_ref), rtol=1e-5)
+
 
 def test_sharded_grid_establishment_matches_single_device():
     """Radius establishment under shard_map: identical neighbor sets, and
@@ -336,6 +350,43 @@ def test_sharded_grid_establishment_matches_single_device():
     s1 = [set(int(j) for j in row if j >= 0) for row in np.asarray(nn_1)]
     s8 = [set(int(j) for j in row if j >= 0) for row in np.asarray(nn_8)]
     assert s1 == s8
+
+
+def test_sharded_knn_establishment_matches_single_device():
+    """kNN establishment under shard_map (cfg.nn_k > 0): bitwise-identical
+    neighbor lists, outputs born sharded across the mesh."""
+    from depth_correction_tpu.ops.knn import (
+        nearest_neighbors,
+        nearest_neighbors_sharded,
+    )
+    from depth_correction_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(22)
+    pts = rng.uniform(-4, 4, (2500, 3)).astype(np.float32)
+    d1, i1 = nearest_neighbors(pts, pts, k=12, r=0.8)
+    mesh = make_mesh(8)
+    d8, i8 = nearest_neighbors_sharded(pts, pts, k=12, r=0.8, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i8))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d8), rtol=0, atol=0
+    )
+    # (Born-sharded placement of the big tables is asserted by
+    # test_point_table_sharded_placement after shard_train_data; the final
+    # un-pad slice of a tiny output can legally land on one device.)
+
+    # establish_neighborhoods(mesh=...) routes the nn_k branch through it.
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.preproc import establish_neighborhoods
+
+    cfg, _, _ = ge._tiny_setup()
+    cfg.nn_k, cfg.nn_r = 10, None
+    cloud = Cloud.from_points(jnp.asarray(pts), pad_to=2560)
+    nn_1, _ = establish_neighborhoods(cloud, cfg)
+    nn_8, _ = establish_neighborhoods(cloud, cfg, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(nn_1), np.asarray(nn_8))
 
 
 def test_train_honors_mesh_shape(tmp_path):
