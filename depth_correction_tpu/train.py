@@ -326,14 +326,23 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
             off_weights.append(ow)
             # Under a mesh the sharded step builds its own PER-SHARD
             # transposes (shard_train_data); the single-device graph would
-            # be discarded.
-            off_transpose.append(
-                None
-                if mesh is not None
-                else build_bucketed_transpose_device(
-                    onn, num_points=s_dim * n_dim, weights=ow
+            # be discarded. Under nn_scale the weights recompute in-step,
+            # so the offset rides the PAIR-level transpose (scatter-free
+            # gather backward) like the main neighborhoods.
+            if mesh is not None:
+                off_transpose.append(None)
+            elif cfg.nn_scale is not None:
+                from .ops.features import build_transpose_graph_device
+
+                off_transpose.append(
+                    build_transpose_graph_device(onn, num_points=s_dim * n_dim)
                 )
-            )
+            else:
+                off_transpose.append(
+                    build_bucketed_transpose_device(
+                        onn, num_points=s_dim * n_dim, weights=ow
+                    )
+                )
         else:
             off_neighbors.append(None)
             off_weights.append(None)
@@ -507,9 +516,12 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
 
         local = model.apply(batch.cloud) if model is not None else batch.cloud
         pts = flatten_batch(local).get_points()
+        # otg: BucketedTranspose (moments VJP) or a PAIR-level
+        # (t_idx, t_slot) tuple (nn_scale — scatter-free gather VJP).
+        t_idx, t_slot = (otg if isinstance(otg, tuple) else (otg, None))
         f = neighborhood_features(
             pts, onn, ow, scale=cfg.nn_scale, compute_normals=False,
-            t_idx=otg, query_rows=qr,
+            t_idx=t_idx, t_slot=t_slot, query_rows=qr,
         )
         if cfg.loss == "trace_loss":
             return f["trace"]

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["read_pcd"]
+__all__ = ["read_pcd", "lzf_decompress"]
 
 _PCD_TYPES = {
     ("F", 4): np.float32,
@@ -65,7 +65,69 @@ def read_pcd(path: str) -> np.ndarray:
         if encoding == "binary":
             return np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
         if encoding == "binary_compressed":
-            import lzf  # pragma: no cover - optional
+            # [u32 compressed size][u32 uncompressed size][LZF stream] of the
+            # FIELD-MAJOR (SoA) body: each field is one contiguous
+            # (n, count) block (PCL pcd_io writeBinaryCompressed layout).
+            import struct
 
-            raise NotImplementedError("binary_compressed PCD not supported")
+            comp_size, uncomp_size = struct.unpack("<II", f.read(8))
+            raw = lzf_decompress(f.read(comp_size), uncomp_size)
+            out = np.zeros(n, dtype=dtype)
+            off = 0
+            for name, size, typ, count in zip(fields, sizes, types, counts):
+                base = _PCD_TYPES[(typ, size)]
+                nbytes = n * count * size
+                block = np.frombuffer(
+                    raw[off : off + nbytes], dtype=base
+                ).reshape(n, count)
+                off += nbytes
+                if count == 1:
+                    out[name] = block[:, 0]
+                else:
+                    for c in range(count):
+                        out["%s_%d" % (name, c)] = block[:, c]
+            return out
         raise ValueError("Unknown PCD encoding: %s" % encoding)
+
+
+def lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """Decompress an LZF stream (the PCD ``binary_compressed`` codec).
+
+    Pure-Python port of the liblzf decoder: a control byte < 32 starts a
+    literal run of ``ctrl + 1`` bytes; otherwise its top 3 bits are the
+    match length code (7 adds an extension byte) and the remaining 5 bits
+    plus the next byte give the back-reference offset.
+    """
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:  # literal run
+            run = ctrl + 1
+            out += data[i : i + run]
+            i += run
+            continue
+        length = ctrl >> 5
+        if length == 7:
+            length += data[i]
+            i += 1
+        length += 2
+        ref = len(out) - ((ctrl & 0x1F) << 8) - data[i] - 1
+        i += 1
+        if ref < 0:
+            raise ValueError("corrupt LZF stream: back-reference before start")
+        while length > 0:
+            # Chunked copy; an overlapping reference (RLE-style) copies the
+            # already-appended prefix repeatedly.
+            chunk = min(length, len(out) - ref)
+            out += out[ref : ref + chunk]
+            ref += chunk
+            length -= chunk
+    if len(out) != expected_size:
+        raise ValueError(
+            "corrupt LZF stream: got %d bytes, expected %d"
+            % (len(out), expected_size)
+        )
+    return bytes(out)

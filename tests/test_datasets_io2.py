@@ -95,3 +95,67 @@ def test_newer_college_loader(tmp_path, monkeypatch):
     vp_r = np.hypot(cloud["vp_x"], cloud["vp_y"])
     np.testing.assert_allclose(vp_r, nc.BEAM_ORIGIN_OFFSET, rtol=1e-3)
     np.testing.assert_allclose(pose[0, 3], 1.0, atol=1e-9)
+
+
+def test_lzf_decompress_backreferences_and_literals():
+    """Handcrafted LZF streams: literal runs, short matches, and the
+    length-7 extension byte with an overlapping (RLE-style) reference."""
+    from depth_correction_tpu.utils.pcd import lzf_decompress
+
+    # literal "abc", then a 9-byte overlapping match from offset 0:
+    # ctrl 0xE0 = (7 << 5), ext 0x00 -> length 7 + 0 + 2 = 9, offset low 0x02
+    # -> ref = 3 - 2 - 1 = 0.
+    stream = bytes([0x02]) + b"abc" + bytes([0xE0, 0x00, 0x02])
+    assert lzf_decompress(stream, 12) == b"abcabcabcabc"
+
+    # Short match (no extension): "xy" + 4-byte match of offset 2.
+    # ctrl = (2 << 5) | 0 = 0x40, low byte 0x01 -> ref = 2 - 1 - 1 = 0,
+    # length 2 + 2 = 4.
+    stream = bytes([0x01]) + b"xy" + bytes([0x40, 0x01])
+    assert lzf_decompress(stream, 6) == b"xyxyxy"
+
+    # Truncated output is a hard error, not silent corruption.
+    import pytest
+
+    with pytest.raises(ValueError):
+        lzf_decompress(bytes([0x02]) + b"abc", 12)
+
+
+def test_pcd_reader_binary_compressed(tmp_path):
+    """binary_compressed PCD: LZF stream over the field-major (SoA) body,
+    COUNT>1 channels expanded — matches the PCL writeBinaryCompressed
+    layout the reference reads via Open3D/PCL."""
+    import struct
+
+    from depth_correction_tpu.utils.pcd import read_pcd
+
+    rng = np.random.default_rng(7)
+    n = 50
+    x = rng.uniform(-5, 5, n).astype(np.float32)
+    y = rng.uniform(-5, 5, n).astype(np.float32)
+    z = rng.uniform(-5, 5, n).astype(np.float32)
+    rings = np.tile(np.arange(2, dtype=np.uint16), (n, 1))  # COUNT=2 channel
+    body = x.tobytes() + y.tobytes() + z.tobytes() + rings.tobytes()
+
+    # Literal-only LZF encoding (runs of <= 32 bytes) is a valid stream.
+    comp = bytearray()
+    for i in range(0, len(body), 32):
+        run = body[i : i + 32]
+        comp += bytes([len(run) - 1]) + run
+    header = (
+        "# .PCD v0.7\nVERSION 0.7\nFIELDS x y z ring\nSIZE 4 4 4 2\n"
+        "TYPE F F F U\nCOUNT 1 1 1 2\nWIDTH %d\nHEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS %d\nDATA binary_compressed\n"
+        % (n, n)
+    )
+    path = tmp_path / "c.pcd"
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(struct.pack("<II", len(comp), len(body)))
+        f.write(bytes(comp))
+
+    out = read_pcd(str(path))
+    np.testing.assert_allclose(out["x"], x)
+    np.testing.assert_allclose(out["z"], z)
+    np.testing.assert_array_equal(out["ring_0"], rings[:, 0])
+    np.testing.assert_array_equal(out["ring_1"], rings[:, 1])

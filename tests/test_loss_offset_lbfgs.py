@@ -137,3 +137,35 @@ def test_lbfgs_optimizer_trains():
     cfg2.optimizer_kwargs = {"line_search": False}
     _, l_plain = _run_lbfgs(cfg2)
     assert l_ls <= l_plain * 1.05
+
+
+def test_loss_offset_with_nn_scale_pair_transpose():
+    """nn_scale + loss_offset: the offset rides a PAIR-level transpose
+    (scatter-free gather backward); value and gradient match the
+    transpose-free (plain scatter-add) evaluation exactly."""
+    import dataclasses
+
+    import jax
+
+    cfg = cfg_base(True)
+    cfg.nn_scale = 0.3
+    ds = create_dataset("ground_plane/4", cfg)
+    data = prepare_sequences([ds], cfg)
+    ot = data.off_transpose[0]
+    assert isinstance(ot, tuple) and ot[0].dtype == jnp.int32  # pair-level
+    plain = dataclasses.replace(
+        data,
+        off_transpose=tuple(None for _ in data.off_transpose),
+        t_neighbors=tuple(None for _ in data.t_neighbors),
+        t_slots=tuple(None for _ in data.t_slots),
+    )
+
+    def value(w, d):
+        model = ScaledPolynomial(w=w, exponent=jnp.asarray([4.0]))
+        return make_loss_fn(cfg)({"model": model}, d)
+
+    w0 = jnp.asarray([-0.001])
+    v_t, g_t = jax.value_and_grad(value)(w0, data)
+    v_p, g_p = jax.value_and_grad(value)(w0, plain)
+    np.testing.assert_allclose(float(v_t), float(v_p), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_p), rtol=1e-10)
