@@ -443,3 +443,75 @@ def test_filter_grid_parity(ref, keep):
     our_idx = np.asarray(filter_grid_indices(pts, res, keep=keep))
     our_set = {tuple(np.round(pts[i], 9)) for i in our_idx}
     assert our_set == ref_set
+
+
+def test_shadow_filter_parity(ref):
+    """filter_shadow_points vs ours on IDENTICAL direction-space
+    neighborhoods (reference: filters.py:257-309): same kept point set."""
+    import depth_correction.filters as ref_filters
+
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.ops.filters import (
+        ball_angle_to_distance,
+        filter_shadow_mask,
+    )
+    from depth_correction_tpu.ops.knn import radius_neighbors
+
+    pts, vps, dirs, depth = _fixture_points(300, seed=3)
+    r_dir = float(ball_angle_to_distance(0.25))
+    _, nb = radius_neighbors(
+        jnp.asarray(dirs, jnp.float64), jnp.asarray(dirs, jnp.float64),
+        r=r_dir, k=24,
+    )
+    nb_np = np.asarray(nb)
+
+    dc = ref.DepthCloud(
+        vps=torch.as_tensor(vps, dtype=torch.float64),
+        dirs=torch.as_tensor(dirs, dtype=torch.float64),
+        depth=torch.as_tensor(depth[:, None], dtype=torch.float64),
+    )
+    dc.dir_neighbors = torch.as_tensor(nb_np, dtype=torch.long)
+    dc.dir_neighbor_weights = (dc.dir_neighbors >= 0).double()
+    bounds = [0.2, 2.9]
+    kept_ref = ref_filters.filter_shadow_points(dc, list(bounds))
+    ref_pts = kept_ref.get_points().numpy()
+
+    cloud = Cloud.from_points(
+        jnp.asarray(pts, jnp.float64), vps=jnp.asarray(vps, jnp.float64)
+    )
+    w = (nb >= 0).astype(jnp.float64)
+    mask = np.asarray(filter_shadow_mask(cloud, nb, w, bounds))
+    assert 0 < mask.sum() < len(pts)  # the fixture actually exercises both sides
+    np.testing.assert_allclose(pts[mask], ref_pts, atol=1e-12)
+
+
+def test_absolute_orientation_parity(ref):
+    """Kabsch/Umeyama absolute orientation vs reference utils.py:253-304."""
+    from depth_correction_tpu.ops.se3 import absolute_orientation
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-3, 3, (40, 3))
+    # A known rigid transform plus noise.
+    angle = 0.7
+    R = np.array(
+        [
+            [np.cos(angle), -np.sin(angle), 0.0],
+            [np.sin(angle), np.cos(angle), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    t = np.array([0.3, -1.2, 0.8])
+    y = x @ R.T + t + rng.normal(0, 0.01, x.shape)
+
+    T_ref = np.asarray(
+        ref.utils.absolute_orientation(
+            torch.as_tensor(x.T, dtype=torch.float64),
+            torch.as_tensor(y.T, dtype=torch.float64),
+        )
+    )
+    T_ours = np.asarray(
+        absolute_orientation(
+            jnp.asarray(x.T, jnp.float64), jnp.asarray(y.T, jnp.float64)
+        )
+    )
+    np.testing.assert_allclose(T_ours, T_ref, atol=1e-9)
