@@ -469,3 +469,50 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_pose_correction_grads_match_single_device():
+    """Joint model+pose training sharded: value AND gradients w.r.t. the
+    per-scan pose deltas match the single-device path (the deltas enter
+    inside the shard body via corrected_poses; their grads psum)."""
+    import __graft_entry__ as ge
+
+    from depth_correction_tpu.config import PoseCorrection
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn
+
+    cfg, data, _ = ge._tiny_setup({"pose_correction": PoseCorrection.pose})
+    n_scans = data.batches[0].num_scans
+    mesh = make_mesh(8)
+    sharded = shard_train_data(data, mesh)
+
+    single_fn = make_loss_fn(data, cfg)
+    multi_fn = make_sharded_loss_fn(sharded, cfg, mesh)
+
+    def value(fn, w, deltas):
+        p = {
+            "model": ScaledPolynomial(w=w, exponent=jnp.asarray([4.0])),
+            "pose_deltas": (deltas,),
+        }
+        return fn(p)
+
+    w0 = jnp.asarray([-0.001])
+    rng = np.random.default_rng(5)
+    d0 = jnp.asarray(rng.normal(0, 1e-3, (n_scans, 6)), jnp.float32)
+
+    v_ref, (gw_ref, gd_ref) = jax.value_and_grad(
+        lambda w, d: value(single_fn, w, d), argnums=(0, 1)
+    )(w0, d0)
+    v_got, (gw_got, gd_got) = jax.jit(
+        jax.value_and_grad(lambda w, d: value(multi_fn, w, d), argnums=(0, 1))
+    )(w0, d0)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_got), np.asarray(gw_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gd_got), np.asarray(gd_ref), rtol=1e-4, atol=1e-9
+    )
+    assert float(jnp.abs(gd_ref).max()) > 0  # pose grads actually flow
