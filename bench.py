@@ -48,6 +48,40 @@ def n_query_full(full_nn):
     return int(np.asarray(full_nn).shape[0])
 
 
+def _devices_or_retry():
+    """First device touch, resilient to transient tunnel failures.
+
+    The TPU tunnel can refuse with ``Unable to initialize backend ...
+    UNAVAILABLE`` for stretches of minutes-to-hours (observed: three
+    consecutive failures over ~90 min). JAX caches the failed backend for
+    the process lifetime, so an in-process retry would return the same
+    error instantly — instead re-exec this script (still ONE TPU process
+    at any time) after a pause, up to DC_BENCH_BACKEND_RETRIES times.
+    """
+    import os
+
+    import jax
+
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e) and "Unable to initialize" not in str(e):
+            raise
+        attempt = int(os.environ.get("DC_BENCH_BACKEND_ATTEMPT", "0"))
+        max_att = int(os.environ.get("DC_BENCH_BACKEND_RETRIES", "4"))
+        if attempt >= max_att:
+            raise
+        delay = int(os.environ.get("DC_BENCH_BACKEND_DELAY_S", "240"))
+        print(
+            "[bench] TPU backend unavailable (attempt %d/%d) — re-exec in %d s"
+            % (attempt + 1, max_att, delay),
+            file=sys.stderr,
+        )
+        time.sleep(delay)
+        os.environ["DC_BENCH_BACKEND_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def build_workload():
     """Synthetic multi-view sequence at ASL-laser-like scale after
     preprocessing: ~25k points/scan x 6 scans, r = 0.25 m neighborhoods.
@@ -71,6 +105,7 @@ def build_workload():
         os.path.expanduser("~/.cache/jax_dctpu_tpu"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _devices_or_retry()
     import jax.numpy as jnp
 
     from depth_correction_tpu.config import Config
