@@ -65,7 +65,9 @@ def _devices_or_retry():
     try:
         return jax.devices()
     except RuntimeError as e:
-        if "UNAVAILABLE" not in str(e) and "Unable to initialize" not in str(e):
+        # Only UNAVAILABLE is transient; NOT_FOUND / INVALID_ARGUMENT etc.
+        # are permanent configuration errors — surface them immediately.
+        if "UNAVAILABLE" not in str(e):
             raise
         attempt = int(os.environ.get("DC_BENCH_BACKEND_ATTEMPT", "0"))
         max_att = int(os.environ.get("DC_BENCH_BACKEND_RETRIES", "4"))

@@ -100,20 +100,27 @@ class OverridePosesDataset(TransformingDataset):
         self.poses_path = poses_path
         ids, poses = read_poses(poses_path)
         n = len(dataset)
-        if len(poses) != n:
-            # Align by pose id when possible (a CSV written for the full
-            # sequence reused with a narrower slice); positional truncation
-            # would silently assign another scan's pose to every scan.
-            by_id = {str(i): p for i, p in zip(ids, poses)}
-            ds_ids = [str(i) for i in getattr(dataset, "ids", range(n))]
-            if len(ds_ids) == n and all(i in by_id for i in ds_ids):
-                poses = [by_id[i] for i in ds_ids]
-            else:
-                raise ValueError(
-                    "poses file %s holds %d poses for %d scans and the "
-                    "scan ids do not match the pose ids"
-                    % (poses_path, len(poses), n)
-                )
+        # Align by pose id whenever the scan ids resolve against the CSV
+        # ids (a full-sequence CSV reused with a narrower or reordered
+        # slice); positional assignment would silently give every scan
+        # another scan's pose. Positional order remains the fallback for
+        # the reference's standard layout (equal length, CSV ids are just
+        # row numbers; reference dataset.py:533-571 assigns by order).
+        by_id = {str(i): p for i, p in zip(ids, poses)}
+        ds_ids = [str(i) for i in getattr(dataset, "ids", range(n))]
+        alignable = (
+            len(ds_ids) == n
+            and len(set(ds_ids)) == n
+            and all(i in by_id for i in ds_ids)
+        )
+        if alignable:
+            poses = [by_id[i] for i in ds_ids]
+        elif len(poses) != n:
+            raise ValueError(
+                "poses file %s holds %d poses for %d scans and the "
+                "scan ids do not match the pose ids"
+                % (poses_path, len(poses), n)
+            )
         self.poses = [np.asarray(p, np.float64) for p in poses]
 
     def transform_pose(self, pose, item=None):
@@ -259,6 +266,15 @@ class Subscriptable(Forwarding):
     def __init__(self, target, idx: Optional[list] = None):
         super().__init__(target)
         self.idx = list(range(len(target))) if idx is None else idx
+
+    @property
+    def ids(self):
+        """Scan ids of the VIEW (sliced like the data) — plain attribute
+        forwarding would return the full underlying id list, breaking any
+        consumer that zips ids with this view's scans (e.g. the
+        OverridePosesDataset id alignment)."""
+        base = list(self.target.ids)
+        return [base[i] for i in self.idx]
 
     def __getitem__(self, i):
         if isinstance(i, (int, np.integer)):

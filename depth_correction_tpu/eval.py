@@ -83,13 +83,15 @@ def eval_loss(
             mesh = make_mesh(n_dev)
 
     if test_data is None:
-        test_data = prepare_sequences(test_datasets, cfg, mesh=mesh)
+        # Forward-only evaluation: no VJP, so no transpose graphs.
+        test_data = prepare_sequences(
+            test_datasets, cfg, mesh=mesh, for_grad=False
+        )
         if mesh is not None:
             from .parallel import shard_train_data
 
             test_data = shard_train_data(
-                test_data, mesh, analytic_vjp=cfg.nn_scale is None,
-                pair_transposes=cfg.nn_scale is not None,
+                test_data, mesh, analytic_vjp=False, pair_transposes=False
             )
 
     params = {"model": model}

@@ -155,6 +155,12 @@ def nearest_neighbors(
     d2, idx = _chunked(
         lambda q: _knn_tiled(pad_points, q, pad_valid, k, tile), query
     )
+    return _finish_knn(d2, idx, r, valid_query)
+
+
+def _finish_knn(d2, idx, r, valid_query):
+    """Shared kNN postprocessing (single-device and sharded paths): radius
+    cut, invalid-query masking, inf-safe sqrt."""
     if r is not None:
         within = d2 <= jnp.asarray(r, d2.dtype) ** 2
         idx = jnp.where(within, idx, -1)
@@ -188,12 +194,11 @@ def nearest_neighbors_sharded(
 
     :param mesh: 1-D ``jax.sharding.Mesh``; its first axis shards queries.
     """
-    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec
 
     assert mesh is not None and len(mesh.axis_names) == 1, mesh
     axis = mesh.axis_names[0]
-    n_dev = int(np.prod(mesh.devices.shape))
+    n_dev = mesh.devices.size
 
     pad_points, q, pad_valid, valid_query, _ = _prepare(
         points, query, valid_points, valid_query, tile
@@ -216,15 +221,7 @@ def nearest_neighbors_sharded(
         ]
         d2 = jnp.concatenate([o[0] for o in outs])
         idx = jnp.concatenate([o[1] for o in outs])
-        if r is not None:
-            within = d2 <= jnp.asarray(r, d2.dtype) ** 2
-            idx = jnp.where(within, idx, -1)
-            d2 = jnp.where(within, d2, jnp.inf)
-        idx = jnp.where(qv_s[:, None], idx, -1)
-        d2 = jnp.where(qv_s[:, None], d2, jnp.inf)
-        missing = jnp.isinf(d2)
-        d = jnp.sqrt(jnp.where(missing, 0.0, d2))
-        return jnp.where(missing, jnp.inf, d), idx
+        return _finish_knn(d2, idx, r, qv_s)
 
     ps = PartitionSpec(axis)
     pr = PartitionSpec()

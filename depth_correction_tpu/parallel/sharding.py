@@ -47,84 +47,69 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def _stacked_shard_transposes(neighbors, weights, num_points: int, n_devices: int):
-    """Per-device transpose graphs for the analytic moments backward.
+def _stacked_shard_transposes(neighbors, num_points: int, mesh: Mesh,
+                              weights=None):
+    """Per-device transpose graphs, stacked to (D * M, Kt) and BORN SHARDED.
 
-    The query rows are split into ``n_devices`` contiguous shards; each
-    shard's transpose (point j -> its query rows WITHIN the shard) is built
-    independently and the results are padded to a common in-degree width and
-    stacked to (D * M, Kt) — shard_map slices off each device's (M, Kt)
-    block. The per-point gradient sums are linear in the transpose pairs, so
+    The query rows are split into D contiguous shards; each shard's
+    transpose (point j -> its query rows WITHIN the shard) is built
+    independently, padded to the common in-degree width, and placed
+    directly on its mesh device (``make_array_from_single_device_arrays``)
+    — no device ever materializes the full stack, so prep memory stays
+    mesh-scaled. shard_map slices off each device's (M, Kt) block; the
+    per-point gradient sums are linear in the transpose pairs, so
     shard-local partial gradients psum (via shard_map's replicated-input
     transpose rule) to the exact global gradient.
 
     Built ON DEVICE (one argsort + gathers per shard,
-    ``ops.features.build_transpose_graph_device``): the (M, K) neighbor and
-    weight tables never round-trip to host RAM, so prep memory stays
-    mesh-scaled like the tables themselves. Host transfer is one scalar
-    (max in-degree) per shard, which sizes the static Kt.
+    ``ops.features.build_transpose_graph_device``); host transfer is one
+    scalar (max in-degree) per shard, which sizes the static Kt.
+
+    :param weights: with frozen weights, returns (t_idx, t_w) for the
+        analytic moments VJP. Without (nn_scale, whose weights recompute
+        in-step), returns the PAIR-level (t_idx, t_slot) tables for the
+        scatter-free gather VJP (``ops.features._gather_T``) — the same
+        design the single-device nn_scale path uses.
     """
     from ..ops.features import build_transpose_graph_device
 
+    devices = list(mesh.devices.reshape(-1))
+    n_devices = len(devices)
     mq = neighbors.shape[0]
     assert mq % n_devices == 0, (mq, n_devices)
     qs = mq // n_devices
     neighbors = jnp.asarray(neighbors)
-    weights = jnp.asarray(weights)
+    if weights is not None:
+        weights = jnp.asarray(weights)
     parts = []
     for d in range(n_devices):
-        t_idx, _, t_w = build_transpose_graph_device(
-            neighbors[d * qs : (d + 1) * qs],
+        sl = slice(d * qs, (d + 1) * qs)
+        out = build_transpose_graph_device(
+            neighbors[sl],
             num_points=num_points,
-            weights=weights[d * qs : (d + 1) * qs],
+            weights=None if weights is None else weights[sl],
         )
-        parts.append((t_idx, t_w))
+        # (t_idx, t_slot) without weights; (t_idx, t_slot, t_w) with.
+        parts.append((out[0], out[2] if weights is not None else out[1]))
     kt = max(p[0].shape[1] for p in parts)
-    t_idx_all = jnp.concatenate(
-        [
-            jnp.pad(ti, ((0, 0), (0, kt - ti.shape[1])), constant_values=-1)
-            for ti, _ in parts
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def assemble(xs, fill):
+        shards = [
+            jax.device_put(
+                jnp.pad(x, ((0, 0), (0, kt - x.shape[1])),
+                        constant_values=fill),
+                devices[d],
+            )
+            for d, x in enumerate(xs)
         ]
-    )
-    t_w_all = jnp.concatenate(
-        [jnp.pad(tw, ((0, 0), (0, kt - tw.shape[1]))) for _, tw in parts]
-    )
-    return t_idx_all, t_w_all
-
-
-def _stacked_shard_pair_transposes(neighbors, num_points: int, n_devices: int):
-    """PAIR-level per-device transposes (t_idx, t_slot stacked to (D*M, Kt)).
-
-    For the Gaussian-reweighted path (nn_scale), whose weights recompute
-    in-step: the frozen-weight analytic moments backward does not apply, but
-    the neighbor GATHER's backward can still ride a transpose graph
-    (``ops.features._gather_T``) instead of XLA's serialized scatter-add —
-    the same design the single-device nn_scale path uses
-    (train.prepare_sequences, build_transpose_graph_device).
-    """
-    from ..ops.features import build_transpose_graph_device
-
-    mq = neighbors.shape[0]
-    assert mq % n_devices == 0, (mq, n_devices)
-    qs = mq // n_devices
-    neighbors = jnp.asarray(neighbors)
-    parts = [
-        build_transpose_graph_device(
-            neighbors[d * qs : (d + 1) * qs], num_points=num_points
-        )
-        for d in range(n_devices)
-    ]
-    kt = max(p[0].shape[1] for p in parts)
-
-    def padcat(xs):
-        return jnp.concatenate(
-            [
-                jnp.pad(x, ((0, 0), (0, kt - x.shape[1])), constant_values=-1)
-                for x in xs
-            ]
+        return jax.make_array_from_single_device_arrays(
+            (n_devices * num_points, kt), sharding, shards
         )
 
-    return padcat([p[0] for p in parts]), padcat([p[1] for p in parts])
+    t_idx = assemble([p[0] for p in parts], -1)
+    second = assemble([p[1] for p in parts], 0 if weights is not None else -1)
+    return t_idx, second
 
 
 def batch_specs(batch):
@@ -224,16 +209,18 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
         plain = nn is not None and not hasattr(nn, "member_idx")
         if plain and pair_transposes:
             m = int(np.prod(data.batches[i].cloud.depth.shape))
-            t_idx, t_slot = _stacked_shard_pair_transposes(nn, m, n_dev)
-            t_neighbors.append(place(t_idx, point_sharded))
-            t_slots.append(place(t_slot, point_sharded))
+            t_idx, t_slot = _stacked_shard_transposes(nn, m, mesh)
+            t_neighbors.append(t_idx)  # born sharded
+            t_slots.append(t_slot)
             t_weights.append(None)
         elif plain and analytic_vjp:
             m = int(np.prod(data.batches[i].cloud.depth.shape))
-            t_idx, t_w = _stacked_shard_transposes(nn, data.weights[i], m, n_dev)
-            t_neighbors.append(place(t_idx, point_sharded))
+            t_idx, t_w = _stacked_shard_transposes(
+                nn, m, mesh, weights=data.weights[i]
+            )
+            t_neighbors.append(t_idx)  # born sharded
             t_slots.append(None)
-            t_weights.append(place(t_w, point_sharded))
+            t_weights.append(t_w)
         else:
             t_neighbors.append(None)
             t_slots.append(None)
@@ -251,14 +238,13 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
         # by the second table's dtype — slots are int32, weights float).
         m = int(np.prod(data.batches[i].cloud.depth.shape))
         ow = jnp.asarray(data.off_weights[i])
-        if pair_transposes:
-            ot_idx, ot_w = _stacked_shard_pair_transposes(onn, m, n_dev)
-        else:
-            ot_idx, ot_w = _stacked_shard_transposes(onn, ow, m, n_dev)
+        ot_idx, ot_w = _stacked_shard_transposes(
+            onn, m, mesh, weights=None if pair_transposes else ow
+        )
         off_nn.append(place(jnp.asarray(onn), point_sharded))
         off_w.append(place(ow, point_sharded))
-        off_t.append(place(ot_idx, point_sharded))
-        off_tw.append(place(ot_w, point_sharded))
+        off_t.append(ot_idx)  # born sharded
+        off_tw.append(ot_w)
 
     return dataclasses.replace(
         data,

@@ -307,11 +307,12 @@ def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
 
             poses_path = cfg.slam_poses_csv
             if len(test_datasets) > 1:
-                # One file per sequence (reference layout: the CSV lives in
-                # a per-sequence subdir, config.py:104-108) — a shared path
-                # would be overwritten by each later sequence.
+                # One file per sequence — a shared path would be overwritten
+                # by each later sequence. The nesting matches the canonical
+                # slam_poses_csv(log_dir, name, slam) layout (config.py:
+                # 104-108) so PoseProvider consumers find the file.
                 head, base = os.path.split(poses_path)
-                poses_path = os.path.join(head, name.replace("/", "_"), base)
+                poses_path = os.path.join(head, name, base)
             os.makedirs(os.path.dirname(poses_path) or ".", exist_ok=True)
             write_poses(list(range(len(est))), est, poses_path)
     return results

@@ -105,7 +105,8 @@ class TrainData:
     point_perm: tuple = ()
 
 
-def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
+def prepare_sequences(datasets, cfg: Config, mesh=None,
+                      for_grad: bool = True) -> TrainData:
     """Build per-sequence batches, frozen neighborhoods, and masks
     (reference: train.py:90-216 without the hot loop).
 
@@ -113,6 +114,9 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
         establishment then runs under shard_map with the query axis split
         across devices (memory-scaling prep; see
         ``preproc.establish_neighborhoods``).
+    :param for_grad: False skips building the transpose graphs, which only
+        the backward pass consumes — forward-only evaluation (eval_loss)
+        saves the builds and their host syncs.
     """
     from .config import NeighborhoodType
 
@@ -329,7 +333,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
             # be discarded. Under nn_scale the weights recompute in-step,
             # so the offset rides the PAIR-level transpose (scatter-free
             # gather backward) like the main neighborhoods.
-            if mesh is not None:
+            if mesh is not None or not for_grad:
                 off_transpose.append(None)
             elif cfg.nn_scale is not None:
                 from .ops.features import build_transpose_graph_device
@@ -348,10 +352,11 @@ def prepare_sequences(datasets, cfg: Config, mesh=None) -> TrainData:
             off_weights.append(None)
             off_transpose.append(None)
 
-        if mesh is not None:
+        if mesh is not None or not for_grad:
             # Same: shard_train_data replaces these with per-shard stacked
             # transposes (or skips them for nn_scale, whose weights
-            # recompute in-step).
+            # recompute in-step); forward-only evaluation never takes the
+            # VJP these graphs serve.
             t_neighbors.append(None)
             t_slots.append(None)
         elif cfg.nn_scale is not None:

@@ -98,6 +98,18 @@ def lzf_decompress(data: bytes, expected_size: int) -> bytes:
     match length code (7 adds an extension byte) and the remaining 5 bits
     plus the next byte give the back-reference offset.
     """
+    try:
+        # The C extension (python-lzf), when present, is ~100x the
+        # pure-Python loop; identical output.
+        import lzf  # type: ignore
+
+        out = lzf.decompress(data, expected_size)
+        if out is None or len(out) != expected_size:
+            raise ValueError("corrupt LZF stream (C decoder)")
+        return out
+    except ImportError:
+        pass
+
     out = bytearray()
     i = 0
     n = len(data)
@@ -110,6 +122,8 @@ def lzf_decompress(data: bytes, expected_size: int) -> bytes:
             i += run
             continue
         length = ctrl >> 5
+        if i + (1 if length != 7 else 2) > n:
+            raise ValueError("corrupt LZF stream: truncated match header")
         if length == 7:
             length += data[i]
             i += 1

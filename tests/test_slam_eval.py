@@ -215,7 +215,9 @@ def test_eval_slam_multi_sequence_poses_per_file(tmp_path):
     head, base = os.path.split(cfg.slam_poses_csv)
     lengths = {}
     for name in results:
-        path = os.path.join(head, name.replace("/", "_"), base)
+        # Same nesting as the canonical slam_poses_csv(log_dir, name, slam)
+        # helper, so PoseProvider consumers can locate the file.
+        path = os.path.join(head, name, base)
         ids, est = read_poses(path)
         lengths[name] = len(est)
     assert sorted(lengths.values()) == [3, 4]
