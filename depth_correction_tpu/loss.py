@@ -237,13 +237,9 @@ def batch_loss(
             skip_nans=skip_nans,
             **kwargs,
         )
+        # reduce_loss(reduction="none") already folded only_finite /
+        # skip_nans into the effective mask it returned on lc.mask.
         eff = lc.mask
-        if only_finite:
-            fin = jnp.isfinite(pointwise)
-            eff = fin if eff is None else eff & fin
-        elif skip_nans:
-            nn = ~jnp.isnan(pointwise)
-            eff = nn if eff is None else eff & nn
         total = total + masked_sum(pointwise, eff)
         count = count + (
             jnp.sum(eff) if eff is not None else pointwise.size

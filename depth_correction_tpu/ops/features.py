@@ -399,6 +399,11 @@ def _gather_t_fwd(values, neighbors, t_idx, t_slot):
 def _gather_t_bwd(res, g):
     neighbors, t_idx, t_slot = res
     k = neighbors.shape[1]
+    # The forward supports (N,) values (cotangent (M, K)); normalize to a
+    # trailing D=1 axis so one path serves both.
+    squeeze = g.ndim == 2
+    if squeeze:
+        g = g[..., None]
     # Zero cotangents on padding slots (their forward read was a clamped
     # dummy; weights already zero them downstream, but be exact here).
     g = jnp.where((neighbors >= 0)[..., None], g, 0.0)
@@ -407,7 +412,8 @@ def _gather_t_bwd(res, g):
     lin = jnp.maximum(t_idx, 0) * k + jnp.maximum(t_slot, 0)
     contrib = jnp.take(flat, lin, axis=1)  # (D, M, Kt)
     contrib = jnp.where((t_idx >= 0)[None], contrib, 0.0)
-    return contrib.sum(axis=-1).T, None, None, None
+    out = contrib.sum(axis=-1).T
+    return (out[:, 0] if squeeze else out), None, None, None
 
 
 gather_neighbors_transposed.defvjp(_gather_t_fwd, _gather_t_bwd)

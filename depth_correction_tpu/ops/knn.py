@@ -325,20 +325,15 @@ def suggest_k_max(
     """
     from .grid_hash import GRID_NN_MIN_POINTS, grid_neighbor_counts
 
-    counts = None
     if np.asarray(points).shape[0] >= GRID_NN_MIN_POINTS:
         # The O(N*Q) brute-force count is minutes beyond ~131k points; the
-        # grid engine counts the same balls exactly (ops/grid_hash.py).
-        try:
-            counts = np.asarray(
-                grid_neighbor_counts(
-                    points, query, r=r, valid_points=valid_points
-                )
-            )
-        except ValueError:
-            # Scene too large for int32 cell ids — fall back to the scan.
-            counts = None
-    if counts is None:
+        # grid engine counts the same balls exactly (ops/grid_hash.py), and
+        # auto-coarsens its cells past the int32 id ceiling (_grid_meta),
+        # so no fallback is needed.
+        counts = np.asarray(
+            grid_neighbor_counts(points, query, r=r, valid_points=valid_points)
+        )
+    else:
         counts = np.asarray(neighbor_counts(points, query, r, valid_points))
     if counts.size == 0:
         k = 1

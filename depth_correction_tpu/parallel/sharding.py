@@ -233,14 +233,12 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
             off_tw.append(None)
             continue
         # Dynamic loss_offset: shard the local neighborhoods like the global
-        # ones, with their own per-shard transposes for the analytic VJP
-        # (or pair-level ones under nn_scale; the loss distinguishes the two
-        # by the second table's dtype — slots are int32, weights float).
+        # ones, with their own per-shard transposes. The offset features are
+        # UNSCALED (reference semantics; see train._local_offset), so the
+        # frozen-weight moments VJP always applies here, nn_scale or not.
         m = int(np.prod(data.batches[i].cloud.depth.shape))
         ow = jnp.asarray(data.off_weights[i])
-        ot_idx, ot_w = _stacked_shard_transposes(
-            onn, m, mesh, weights=None if pair_transposes else ow
-        )
+        ot_idx, ot_w = _stacked_shard_transposes(onn, m, mesh, weights=ow)
         off_nn.append(place(jnp.asarray(onn), point_sharded))
         off_w.append(place(ow, point_sharded))
         off_t.append(ot_idx)  # born sharded
@@ -410,8 +408,10 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
             if points_sharded:
                 lpts = jax.lax.all_gather(lpts, DATA_AXIS, axis=1, tiled=True)
             lpts = lpts.reshape(-1, lpts.shape[-1])
+            # Unscaled like the single-device _local_offset: the reference's
+            # offset eigenvalues come from the unscaled local features.
             off_feats = neighborhood_features(
-                lpts, off_nn, off_w, scale=cfg.nn_scale,
+                lpts, off_nn, off_w, scale=None,
                 compute_normals=False, t_idx=off_t, t_slot=off_slot,
                 t_w=off_tw, query_rows=qr,
             )

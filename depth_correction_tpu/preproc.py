@@ -178,8 +178,12 @@ def local_feature_cloud(
     neighbors, weights = establish_scan_neighbors(cloud, cfg)
     # Jitted: one program dispatch per (shape, scale) instead of ~50 eager
     # ops — prep runs host-side, where per-op dispatch (especially through
-    # a remote-device tunnel) dominates otherwise.
-    cloud = _compute_features_jit(cloud, neighbors, weights, cfg.nn_scale)
+    # a remote-device tunnel) dominates otherwise. NO Gaussian re-weighting
+    # here: the reference applies cfg.nn_scale to the GLOBAL cloud only
+    # (preproc.py:184, 216); its local path is update_all(k, r) unscaled
+    # (preproc.py:50), so the planar masks and loss-offset locals must be
+    # computed from unscaled covariances.
+    cloud = _compute_features_jit(cloud, neighbors, weights, None)
 
     # Planar-region mask (reference: preproc.py:53-62).
     mask = cloud.valid
@@ -243,7 +247,8 @@ def _host_neighbors(points, valid, cfg: Config, k_max: Optional[int] = None):
         if cfg.nn_k:
             kw = {"distance_upper_bound": cfg.nn_r} if cfg.nn_r else {}
             _, ind = tree.query(pts, k=int(cfg.nn_k), workers=-1, **kw)
-            ind = np.atleast_2d(ind)
+            # cKDTree.query returns (N,) for k=1; keep (N, k) throughout.
+            ind = ind.reshape(n, -1)
             miss = ind == tree.n
             ind = np.where(miss, 0, ind)
             out = idx_valid[ind]
@@ -256,7 +261,13 @@ def _host_neighbors(points, valid, cfg: Config, k_max: Optional[int] = None):
             out = np.full((n, int(k)), -1, np.int64)
             for i, b in enumerate(balls):
                 if val[i]:
-                    b = b[: int(k)]
+                    if len(b) > int(k):
+                        # Keep the k NEAREST, like the device engines —
+                        # query_ball_point's order is arbitrary, and an
+                        # index-ordered cut would make the neighborhoods
+                        # backend-dependent.
+                        d2 = np.sum((pts[idx_valid[b]] - pts[i]) ** 2, axis=1)
+                        b = [b[j] for j in np.argsort(d2, kind="stable")[: int(k)]]
                     out[i, : len(b)] = idx_valid[b]
     out[~val] = -1
     idx = jnp.asarray(out, jnp.int32)
@@ -498,7 +509,10 @@ def establish_neighborhoods(
         )
         return planes.orient(gcloud.vps), None
     points = gcloud.get_points()
-    capped = bool(k_max or cfg.nn_max_neighbors)
+    # Mutual trimming below only applies to RADIUS graphs truncated by a
+    # neighbor cap; pure kNN stays one-sided (reference semantics) even
+    # when nn_max_neighbors is also set in the config.
+    capped = bool((k_max or cfg.nn_max_neighbors) and not cfg.nn_k)
     if getattr(cfg, "nn_backend", None) in ("scipy", "native"):
         idx, weights = _host_neighbors(points, gcloud.valid, cfg, k_max=k_max)
     elif cfg.nn_k:

@@ -330,17 +330,11 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             off_weights.append(ow)
             # Under a mesh the sharded step builds its own PER-SHARD
             # transposes (shard_train_data); the single-device graph would
-            # be discarded. Under nn_scale the weights recompute in-step,
-            # so the offset rides the PAIR-level transpose (scatter-free
-            # gather backward) like the main neighborhoods.
+            # be discarded. The offset features are UNSCALED (see
+            # _local_offset), so the frozen-weight moments VJP always
+            # applies here, nn_scale or not.
             if mesh is not None or not for_grad:
                 off_transpose.append(None)
-            elif cfg.nn_scale is not None:
-                from .ops.features import build_transpose_graph_device
-
-                off_transpose.append(
-                    build_transpose_graph_device(onn, num_points=s_dim * n_dim)
-                )
             else:
                 off_transpose.append(
                     build_bucketed_transpose_device(
@@ -521,11 +515,13 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
 
         local = model.apply(batch.cloud) if model is not None else batch.cloud
         pts = flatten_batch(local).get_points()
-        # otg: BucketedTranspose (moments VJP) or a PAIR-level
-        # (t_idx, t_slot) tuple (nn_scale — scatter-free gather VJP).
+        # NO Gaussian re-weighting: the reference's offset eigenvalues come
+        # from the unscaled LOCAL features (preproc.py:50 computes them
+        # without scale; offset_cloud, preproc.py:67-77, carries them) —
+        # cfg.nn_scale applies to the global cloud only.
         t_idx, t_slot = (otg if isinstance(otg, tuple) else (otg, None))
         f = neighborhood_features(
-            pts, onn, ow, scale=cfg.nn_scale, compute_normals=False,
+            pts, onn, ow, scale=None, compute_normals=False,
             t_idx=t_idx, t_slot=t_slot, query_rows=qr,
         )
         if cfg.loss == "trace_loss":

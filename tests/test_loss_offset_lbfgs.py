@@ -140,9 +140,10 @@ def test_lbfgs_optimizer_trains():
 
 
 def test_loss_offset_with_nn_scale_pair_transpose():
-    """nn_scale + loss_offset: the offset rides a PAIR-level transpose
-    (scatter-free gather backward); value and gradient match the
-    transpose-free (plain scatter-add) evaluation exactly."""
+    """nn_scale + loss_offset: the offset features stay UNSCALED (reference
+    semantics — cfg.nn_scale applies to the global cloud only) and ride the
+    moments transpose; value and gradient match the transpose-free
+    evaluation exactly."""
     import dataclasses
 
     import jax
@@ -152,7 +153,7 @@ def test_loss_offset_with_nn_scale_pair_transpose():
     ds = create_dataset("ground_plane/4", cfg)
     data = prepare_sequences([ds], cfg)
     ot = data.off_transpose[0]
-    assert isinstance(ot, tuple) and ot[0].dtype == jnp.int32  # pair-level
+    assert hasattr(ot, "idx")  # BucketedTranspose (moments VJP)
     plain = dataclasses.replace(
         data,
         off_transpose=tuple(None for _ in data.off_transpose),

@@ -255,3 +255,123 @@ def test_optimizer_args_positional_lr(tmp_path):
     grads = {"w": jnp.ones(2)}
     updates, _ = tx.update(grads, state, params)
     np.testing.assert_allclose(np.asarray(updates["w"]), -0.5, rtol=1e-6)
+
+
+# --- round-3 late-review fixes ---------------------------------------------
+
+
+def test_local_features_ignore_nn_scale():
+    """cfg.nn_scale must not touch LOCAL per-scan features: the reference
+    computes them unscaled (preproc.py:50); scale applies to the global
+    cloud only (preproc.py:184, 216)."""
+    import numpy as np
+
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.preproc import local_feature_cloud
+
+    def cfg_with(scale):
+        cfg = Config()
+        cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 20.0, 0.25
+        cfg.nn_r, cfg.nn_k = 0.4, 0
+        cfg.min_valid_neighbors = 3
+        cfg.nn_scale = scale
+        return cfg
+
+    ds = create_dataset("ground_plane/3", cfg_with(None), noisy=False)
+    scan, _ = ds[0]
+    a = local_feature_cloud(scan, cfg_with(0.3))
+    b = local_feature_cloud(scan, cfg_with(None))
+    np.testing.assert_array_equal(np.asarray(a.eigvals), np.asarray(b.eigvals))
+
+
+def test_host_scipy_knn_k1_and_nearest_truncation():
+    """scipy backend: k=1 kNN returns (N, 1) (cKDTree gives a flat array),
+    and over-full radius balls truncate to the NEAREST k like the device
+    engines, not query_ball_point's arbitrary order."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.preproc import _host_neighbors
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1, 1, (64, 3))
+    valid = np.ones(64, bool)
+
+    cfg = Config()
+    cfg.nn_backend = "scipy"
+    cfg.nn_k, cfg.nn_r = 1, None
+    idx, w = _host_neighbors(jnp.asarray(pts), jnp.asarray(valid), cfg)
+    assert idx.shape == (64, 1)
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(64))
+
+    cfg.nn_k, cfg.nn_r = 0, 0.8
+    k = 4  # far fewer than the true ball sizes
+    idx, _ = _host_neighbors(jnp.asarray(pts), jnp.asarray(valid), cfg, k_max=k)
+    from scipy.spatial import cKDTree
+
+    d_true, i_true = cKDTree(pts).query(pts, k=k)
+    for row in range(64):
+        kept = sorted(int(j) for j in np.asarray(idx[row]) if j >= 0)
+        assert kept == sorted(i_true[row].tolist()), row
+
+
+def test_gather_transposed_grad_1d_values():
+    """gather_neighbors_transposed supports (N,) values in the BACKWARD
+    too (the forward always did); grad matches plain jnp.take autodiff."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from depth_correction_tpu.ops.features import (
+        build_transpose_graph,
+        gather_neighbors_transposed,
+    )
+
+    rng = np.random.default_rng(4)
+    n, m, k = 30, 12, 5
+    nb = rng.integers(-1, n, (m, k)).astype(np.int32)
+    t_idx, t_slot = build_transpose_graph(nb, num_points=n)
+    vals = jnp.asarray(rng.normal(size=n))
+
+    def with_transpose(v):
+        out = gather_neighbors_transposed(v, jnp.asarray(nb), t_idx, t_slot)
+        return jnp.sum(jnp.where(jnp.asarray(nb) >= 0, out, 0.0) ** 2)
+
+    def plain(v):
+        out = jnp.take(v, jnp.maximum(jnp.asarray(nb), 0), axis=0)
+        return jnp.sum(jnp.where(jnp.asarray(nb) >= 0, out, 0.0) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(with_transpose)(vals)),
+        np.asarray(jax.grad(plain)(vals)),
+        atol=1e-12,
+    )
+
+
+def test_pure_knn_not_symmetrized_despite_cap():
+    """nn_k > 0 with a leftover nn_max_neighbors must NOT mutual-trim the
+    kNN graph (reference kNN is one-sided); only truncated radius graphs
+    get symmetrized."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.ops.knn import nearest_neighbors
+    from depth_correction_tpu.preproc import establish_neighborhoods
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-2, 2, (512, 3)).astype(np.float32)
+    cloud = Cloud.from_points(jnp.asarray(pts))
+
+    cfg = Config()
+    cfg.nn_k, cfg.nn_r = 8, None
+    cfg.nn_max_neighbors = 32  # leftover radius knob must not matter
+    got, _ = establish_neighborhoods(cloud, cfg)
+    _, want = nearest_neighbors(cloud.get_points(), cloud.get_points(), k=8,
+                                valid_points=cloud.valid,
+                                valid_query=cloud.valid)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
