@@ -154,6 +154,11 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
             "prepare_sequences(..., mesh=mesh) (or via cfg.mesh_shape, "
             "which disables the sort) before sharding"
         )
+    if any(o is not None for o in (getattr(data, "offsets", ()) or ())):
+        raise NotImplementedError(
+            "static TrainData.offsets are not consumed by the sharded loss; "
+            "use cfg.loss_offset (the dynamic offset), which is"
+        )
     point_sharded = NamedSharding(mesh, P(DATA_AXIS))
     pair_point_sharded = NamedSharding(mesh, P(None, DATA_AXIS))
     replicated = NamedSharding(mesh, P())
@@ -349,6 +354,13 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
     inlier_ratio = float(kwargs.get("inlier_ratio", 1.0))
     inlier_loss_mult = float(kwargs.get("inlier_loss_mult", 1.0))
     inlier_max_loss = kwargs.get("inlier_max_loss")
+    only_finite = bool(kwargs.get("only_finite", False))
+    skip_nans = bool(kwargs.get("skip_nans", False))
+    reduction = str(kwargs.get("reduction", "mean"))
+    if reduction not in ("mean", "sum"):
+        raise NotImplementedError(
+            "sharded loss supports reduction mean/sum, got %r" % reduction
+        )
     mode = cfg.pose_correction
 
     def _pointwise_of(feats):
@@ -420,6 +432,12 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         pointwise = jax.nn.relu(pointwise)
         if sqrt:
             pointwise = jnp.sqrt(pointwise)
+        # only_finite / skip_nans fold into the mask exactly like the
+        # single-device reduce_loss (reference: loss.py:125-150).
+        if only_finite:
+            mask = mask & jnp.isfinite(pointwise)
+        elif skip_nans:
+            mask = mask & ~jnp.isnan(pointwise)
         s = jax.lax.psum(jnp.sum(jnp.where(mask, pointwise, 0.0)), DATA_AXIS)
         c = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
         return s, c
@@ -530,6 +548,8 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
                             qr is not None, ps, batch)(*args)
             total = total + s
             count = count + c
+        if reduction == "sum":
+            return total
         return total / jnp.maximum(count, 1)
 
     return loss_fn
@@ -547,11 +567,22 @@ def _make_sharded_plane_loss_fn(data, cfg: Config, mesh: Mesh):
     """
     from ..ops.eigh3 import eigvals3
     from ..ops.features import gather_neighbors
+    from ..ops.reduce import masked_quantile
 
     kwargs = dict(cfg.loss_kwargs or {})
     normalization = bool(kwargs.get("normalization", False))
     use_trace = cfg.loss == "trace_loss"
     sqrt = bool(kwargs.get("sqrt", False))
+    inlier_ratio = float(kwargs.get("inlier_ratio", 1.0))
+    inlier_loss_mult = float(kwargs.get("inlier_loss_mult", 1.0))
+    inlier_max_loss = kwargs.get("inlier_max_loss")
+    only_finite = bool(kwargs.get("only_finite", False))
+    skip_nans = bool(kwargs.get("skip_nans", False))
+    reduction = str(kwargs.get("reduction", "mean"))
+    if reduction not in ("mean", "sum"):
+        raise NotImplementedError(
+            "sharded loss supports reduction mean/sum, got %r" % reduction
+        )
     mode = cfg.pose_correction
 
     def seq_loss(params, batch, plane_params, member_idx, member_w, valid,
@@ -596,11 +627,29 @@ def _make_sharded_plane_loss_fn(data, cfg: Config, mesh: Mesh):
             pw = eigvals[..., 0]
             if normalization:
                 pw = pw / jnp.maximum(jnp.sum(eigvals, -1), 1e-6)
+        mask = valid
+        # Inlier trim BEFORE relu/sqrt, like the single-device
+        # _consistency_loss (reference: loss.py:256-273); the plane axis is
+        # replicated after the psums, so the quantile needs no collective.
+        if inlier_ratio < 1.0 or inlier_max_loss is not None:
+            thr = inlier_max_loss
+            if inlier_ratio < 1.0:
+                q = masked_quantile(pw, mask, inlier_ratio)
+                if inlier_loss_mult != 1.0:
+                    q = inlier_loss_mult * q
+                thr = q if thr is None else jnp.minimum(
+                    jnp.asarray(thr, q.dtype), q
+                )
+            mask = mask & (pw <= thr)
         pw = jax.nn.relu(pw)
         if sqrt:
             pw = jnp.sqrt(pw)
+        if only_finite:
+            mask = mask & jnp.isfinite(pw)
+        elif skip_nans:
+            mask = mask & ~jnp.isnan(pw)
         # Plane axis is replicated after the psums: plain masked sums.
-        return jnp.sum(jnp.where(valid, pw, 0.0)), jnp.sum(valid)
+        return jnp.sum(jnp.where(mask, pw, 0.0)), jnp.sum(mask)
 
     _cache = {}
 
@@ -646,6 +695,8 @@ def _make_sharded_plane_loss_fn(data, cfg: Config, mesh: Mesh):
             )
             total = total + s
             count = count + c
+        if reduction == "sum":
+            return total
         return total / jnp.maximum(count, 1)
 
     return loss_fn

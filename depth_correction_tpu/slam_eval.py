@@ -265,9 +265,22 @@ def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
         name = str(ds)
         clouds, gt_poses = [], []
         for scan, pose in ds:
-            cloud = local_feature_cloud(scan, cfg)
             if model is not None:
-                cloud = model.apply(cloud)
+                # Re-derive normals from the CORRECTED geometry over the
+                # same local neighborhoods: model.apply only moves points
+                # along their rays, and point-to-plane registration with
+                # pre-correction plane orientations would blunt the drift
+                # metric's sensitivity to the correction under evaluation
+                # (the reference's external mapper likewise estimates
+                # normals from the corrected clouds it is fed).
+                from .ops.features import compute_features
+
+                cloud, lnn, lw = local_feature_cloud(
+                    scan, cfg, return_neighbors=True
+                )
+                cloud = compute_features(model.apply(cloud), lnn, lw)
+            else:
+                cloud = local_feature_cloud(scan, cfg)
             clouds.append(cloud)
             gt_poses.append(np.asarray(pose))
         gt_poses = np.stack(gt_poses)

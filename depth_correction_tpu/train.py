@@ -54,6 +54,9 @@ class TrainCallbacks:
         pass
 
     def train_inputs(self, it, data):
+        """Fired once before the hot loop with the prepared (frozen)
+        :class:`TrainData` — inputs never change across iterations here,
+        unlike the reference's per-iteration clouds."""
         pass
 
     def train_loss(self, it, model, pose_deltas, loss):
@@ -258,7 +261,12 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
         if cfg.spatial_sort and mesh is None:
             from .preproc import spatial_sort_perm
 
-            cell = 2.0 * (cfg.nn_r or 0.0) or 4.0 * cfg.grid_res
+            if cfg.nn_r:
+                cell = 2.0 * cfg.nn_r
+            elif cfg.grid_res:
+                cell = 4.0 * cfg.grid_res
+            else:
+                cell = 1.0  # unitless fallback; only affects gather locality
             pp = spatial_sort_perm(gcloud.get_points(), gcloud.valid, cell)
         point_perm.append(pp)
 
@@ -740,8 +748,14 @@ def train(
             mesh = make_mesh(n_dev)
 
     train_data = prepare_sequences(train_datasets, cfg, mesh=mesh)
+    # Validation only takes gradients when it optimizes its own
+    # sequence/pose corrections (reference: train.py:315-322); otherwise it
+    # is a forward-only eval and the transpose graphs would be dead weight.
+    val_grad = cfg.pose_correction in (PoseCorrection.sequence, PoseCorrection.pose)
     val_data = (
-        prepare_sequences(val_datasets, cfg, mesh=mesh) if val_datasets else None
+        prepare_sequences(val_datasets, cfg, mesh=mesh, for_grad=val_grad)
+        if val_datasets
+        else None
     )
     if mesh is not None:
         from .parallel import make_sharded_loss_fn, shard_train_data
@@ -755,7 +769,9 @@ def train(
         )
         if val_data is not None:
             val_data = shard_train_data(
-                val_data, mesh, analytic_vjp=vjp, pair_transposes=not vjp
+                val_data, mesh,
+                analytic_vjp=vjp and val_grad,
+                pair_transposes=(not vjp) and val_grad,
             )
 
     model = load_model(cfg=cfg)
@@ -909,6 +925,7 @@ def train(
     import time
 
     profiling = False
+    callbacks.train_inputs(it0, train_data)
 
     for it in range(it0, cfg.n_opt_iters):
         callbacks.iteration_started(it)

@@ -516,3 +516,43 @@ def test_sharded_pose_correction_grads_match_single_device():
         np.asarray(gd_got), np.asarray(gd_ref), rtol=1e-4, atol=1e-9
     )
     assert float(jnp.abs(gd_ref).max()) > 0  # pose grads actually flow
+
+
+def test_sharded_plane_inlier_trim_and_finite_kwargs():
+    """Sharded plane mode honors the inlier-trim / only_finite loss kwargs
+    the single-device path applies — with trimming active the two values
+    must still agree (trim happens pre-relu, quantile over valid planes)."""
+    import __graft_entry__ as ge
+
+    from depth_correction_tpu.parallel import (
+        make_mesh,
+        make_sharded_loss_fn,
+        shard_train_data,
+    )
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+    from depth_correction_tpu.datasets import create_dataset
+
+    cfg, _, _ = ge._tiny_setup(
+        {"nn_type": "plane", "loss": "trace_loss",
+         "train_names": ["open_box/n_4_size_10_10_5_height_1_density_60"],
+         "min_depth": 0.1, "max_depth": 30.0, "grid_res": 0.3, "nn_r": 0.6,
+         "loss_kwargs": {"sqrt": False, "normalization": False,
+                         "inlier_ratio": 0.6, "only_finite": True}}
+    )
+    cfg.max_neighborhoods = 6
+    ds = create_dataset(cfg.train_names[0], cfg)
+    data = prepare_sequences([ds], cfg)
+    mesh = make_mesh(8)
+    sharded = shard_train_data(data, mesh)
+
+    w0 = jnp.asarray([-0.002])
+    p = {"model": ScaledPolynomial(w=w0, exponent=jnp.asarray([4.0]))}
+    v_ref = float(make_loss_fn(data, cfg)(p))
+    v_got = float(jax.jit(make_sharded_loss_fn(sharded, cfg, mesh))(p))
+    np.testing.assert_allclose(v_got, v_ref, rtol=1e-6)
+
+    # Trim must actually change the objective vs the untrimmed config.
+    cfg2 = cfg.copy()
+    cfg2.loss_kwargs = {"sqrt": False, "normalization": False}
+    v_untrimmed = float(jax.jit(make_sharded_loss_fn(sharded, cfg2, mesh))(p))
+    assert v_got < v_untrimmed
