@@ -21,7 +21,8 @@ import numpy as np
 from .config import Config, PoseCorrection, loss_eval_csv
 from .loss import create_loss
 from .models import load_model
-from .train import TrainData, init_pose_deltas, make_loss_fn, prepare_sequences
+from .train import (TrainData, _pose_path, init_pose_deltas, make_loss_fn,
+                    prepare_sequences)
 from .utils.io import append
 
 __all__ = ["eval_loss", "eval_loss_all", "eval_slam_all", "eval_icp",
@@ -56,7 +57,7 @@ def eval_loss(
         test_datasets = [
             create_dataset(
                 name, cfg,
-                poses_path=cfg.test_poses_path[i] if cfg.test_poses_path else None,
+                poses_path=_pose_path(cfg.test_poses_path, i, test_names),
             )
             for i, name in enumerate(test_names)
         ]
@@ -65,6 +66,7 @@ def eval_loss(
 
     if model is None:
         model = load_model(cfg=cfg)
+    custom_loss = loss_fun is not None
     loss_fun = loss_fun or create_loss(cfg)
 
     # Multi-chip evaluation (cfg.mesh_shape, as in train()): establishment,
@@ -102,9 +104,14 @@ def eval_loss(
             from .utils.checkpoint import load_pytree
 
             loaded = load_pytree(cfg.test_pose_deltas)
-            params["pose_deltas"] = tuple(
-                jnp.asarray(loaded[k]) for k in sorted(loaded)
-            )
+            # Tuple indices round-trip as digit strings: sort numerically,
+            # or '10' lands between '1' and '2' (11+ sequences would get
+            # each other's corrections).
+            try:
+                keys = sorted(loaded, key=int)
+            except ValueError:
+                keys = sorted(loaded)
+            params["pose_deltas"] = tuple(jnp.asarray(loaded[k]) for k in keys)
         else:
             params["pose_deltas"] = init_pose_deltas(test_data, cfg)
 
@@ -120,6 +127,11 @@ def eval_loss(
     if mesh is not None:
         from .parallel import make_sharded_loss_fn
 
+        if custom_loss:
+            raise NotImplementedError(
+                "a custom loss_fun cannot be sharded; unset cfg.mesh_shape "
+                "or configure the loss via cfg.loss/loss_kwargs"
+            )
         loss_fn = make_sharded_loss_fn(test_data, cfg, mesh)
     else:
         loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
@@ -195,13 +207,16 @@ def eval_icp(cfg: Config, test_datasets: Optional[Sequence] = None):
     from .loss import icp_loss
     from .preproc import local_feature_cloud
 
-    if not test_datasets:
+    if test_datasets:
+        names = [str(ds) for ds in test_datasets]
+    else:
+        names = list(cfg.test_names or [])
         test_datasets = [
             create_dataset(
                 n, cfg,
-                poses_path=cfg.test_poses_path[i] if cfg.test_poses_path else None,
+                poses_path=_pose_path(cfg.test_poses_path, i, names),
             )
-            for i, n in enumerate(cfg.test_names or [])
+            for i, n in enumerate(names)
         ]
     model = load_model(cfg=cfg)
     seqs = []
@@ -221,9 +236,6 @@ def eval_icp(cfg: Config, test_datasets: Optional[Sequence] = None):
         icp_inlier_ratio=float(cfg.loss_kwargs.get("icp_inlier_ratio", 0.3)),
     )
     value = float(value)
-    names = [str(ds) for ds in test_datasets] if cfg.test_names is None else list(
-        cfg.test_names
-    )
     print("ICP loss on %s: %.9f" % (", ".join(names), value))
     # Same flat-file schema as the consistency losses
     # (reference: eval.py:182-186).

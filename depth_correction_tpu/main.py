@@ -60,6 +60,8 @@ def eval_loss_baselines(cfg: Config):
 
     base = cfg.copy()
     base.model_class = "BaseModel"
+    base.model_args = []
+    base.model_kwargs = {}
     base.model_state_dict = ""
     base.pose_correction = PoseCorrection.none
     return eval_loss_all(base)
@@ -208,6 +210,16 @@ def eval_configs(cfg: Config, pattern: str, arg: str = "all"):
             cmd = launch_args + [
                 sys.executable, "-m", "depth_correction_tpu.main",
                 "--from-yaml", config_path, "--log-dir", run.log_dir,
+            ]
+            if cfg.eigenvalue_bounds:
+                # The in-process path applies this override; the launched
+                # child must see it too.
+                import yaml as _yaml
+
+                cmd += ["--eigenvalue-bounds",
+                        _yaml.safe_dump(cfg.eigenvalue_bounds,
+                                        default_flow_style=True).strip()]
+            cmd += [
                 "--", "eval_" + ("loss_all" if arg == "loss_all"
                                  else "slam_all" if arg == "slam_all"
                                  else "all"),

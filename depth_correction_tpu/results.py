@@ -190,34 +190,21 @@ def render_all(root: str, out_dir: Optional[str] = None) -> Dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     artifacts = {}
 
-    for loss in ("min_eigval_loss", "trace_loss", "icp_loss"):
-        header, rows = mean_loss_table(root, loss=loss)
+    def write_table(name, header, rows):
+        """txt + LaTeX pair for one table."""
         if not rows:
-            continue
-        base = os.path.join(out_dir, "mean_%s" % loss)
+            return
+        base = os.path.join(out_dir, name)
         with open(base + ".txt", "w") as f:
             f.write(format_table(header, rows) + "\n")
         with open(base + ".tex", "w") as f:
             f.write(to_latex(header, rows) + "\n")
-        artifacts["mean_%s" % loss] = base + ".txt"
+        artifacts[name] = base + ".txt"
 
-    header, rows = mean_slam_table(root)
-    if rows:
-        base = os.path.join(out_dir, "mean_slam_error")
-        with open(base + ".txt", "w") as f:
-            f.write(format_table(header, rows) + "\n")
-        with open(base + ".tex", "w") as f:
-            f.write(to_latex(header, rows) + "\n")
-        artifacts["mean_slam_error"] = base + ".txt"
-
-    header, rows = slam_error_per_sequence(root)
-    if rows:
-        base = os.path.join(out_dir, "slam_error_per_sequence")
-        with open(base + ".txt", "w") as f:
-            f.write(format_table(header, rows) + "\n")
-        with open(base + ".tex", "w") as f:
-            f.write(to_latex(header, rows) + "\n")
-        artifacts["slam_error_per_sequence"] = base + ".txt"
+    for loss in ("min_eigval_loss", "trace_loss", "icp_loss"):
+        write_table("mean_%s" % loss, *mean_loss_table(root, loss=loss))
+    write_table("mean_slam_error", *mean_slam_table(root))
+    write_table("slam_error_per_sequence", *slam_error_per_sequence(root))
 
     # Trajectory plots from every slam_poses CSV found.
     from .datasets.asl_laser import read_poses

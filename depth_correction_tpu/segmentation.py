@@ -66,9 +66,15 @@ def fit_plane_ransac(
     if valid is None:
         valid = jnp.ones(points.shape[0], dtype=bool)
     key = jax.random.PRNGKey(seed)
-    plane, mask, _ = _ransac_score(
+    plane, mask, count = _ransac_score(
         points, valid, key, distance_threshold, int(max_iterations)
     )
+    if int(count) <= 0:
+        # Every hypothesis was degenerate/invalid (triples sample ALL rows,
+        # so late iterations over a sparse remainder can strike out) —
+        # argmax would fall back to hypothesis 0's unchecked inlier mask and
+        # return a garbage plane with phantom support. Report no plane.
+        return np.asarray(plane), np.empty(0, np.int64)
     support = np.flatnonzero(np.asarray(mask))
     return np.asarray(plane), support
 

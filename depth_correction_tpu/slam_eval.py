@@ -249,12 +249,13 @@ def eval_slam(cfg: Config, test_datasets: Optional[Sequence] = None,
         mean_rel_offset).
     """
     from .datasets import create_dataset
+    from .train import _pose_path
 
     if not test_datasets:
         test_datasets = [
             create_dataset(
                 n, cfg,
-                poses_path=cfg.test_poses_path[i] if cfg.test_poses_path else None,
+                poses_path=_pose_path(cfg.test_poses_path, i, cfg.test_names or []),
             )
             for i, n in enumerate(cfg.test_names or [])
         ]

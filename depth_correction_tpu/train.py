@@ -44,6 +44,20 @@ __all__ = ["TrainCallbacks", "TrainData", "train", "prepare_sequences", "make_lo
            "init_pose_deltas", "make_optimizer"]
 
 
+def _pose_path(paths, i: int, names):
+    """Entry ``i`` of a ``*_poses_path`` list, with a clear error on a
+    length mismatch (a truthy-but-short list would otherwise IndexError
+    mid-loading, or silently skip overrides)."""
+    if not paths:
+        return None
+    if i >= len(paths):
+        raise ValueError(
+            "poses_path list has %d entries for %d sequences (%s)"
+            % (len(paths), len(names), ", ".join(map(str, names)))
+        )
+    return paths[i]
+
+
 class TrainCallbacks:
     """Hook interface (reference: train.py:25-43)."""
 
@@ -711,7 +725,9 @@ def train(
         train_datasets = [
             create_dataset(
                 name, cfg,
-                poses_path=cfg.train_poses_path[i] if cfg.train_poses_path else None,
+                poses_path=_pose_path(
+                    cfg.train_poses_path, i, cfg.train_names or []
+                ),
             )
             for i, name in enumerate(cfg.train_names or [])
         ]
@@ -719,7 +735,7 @@ def train(
         val_datasets = [
             create_dataset(
                 name, cfg,
-                poses_path=cfg.val_poses_path[i] if cfg.val_poses_path else None,
+                poses_path=_pose_path(cfg.val_poses_path, i, cfg.val_names or []),
             )
             for i, name in enumerate(cfg.val_names or [])
         ]
