@@ -103,9 +103,13 @@ class Configurable:
 
     # --- utilities ------------------------------------------------------
     def copy(self) -> "Configurable":
-        new = type(self)()
-        new.from_dict(self.to_dict())
-        return new
+        # Deep, like the reference (configurable.py:178-179): a shallow
+        # copy would alias dict/list-valued fields (loss_kwargs, *_names)
+        # across grid experiments, so an in-place tweak on one would
+        # silently corrupt the whole sweep.
+        import copy as _copy
+
+        return _copy.deepcopy(self)
 
     def diff(self, other: "Configurable") -> Dict[str, Any]:
         """Keys whose values differ from ``other`` (values from self)."""

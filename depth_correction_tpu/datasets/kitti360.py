@@ -66,7 +66,8 @@ def load_rigid_calibration(path: str) -> np.ndarray:
 
 class Dataset:
     def __init__(self, name: Optional[str] = None, path: Optional[str] = None,
-                 poses_path: Optional[str] = None, filtered_scans: bool = False,
+                 poses_path: Optional[str] = None, zero_origin: bool = True,
+                 filtered_scans: bool = False,
                  filter_ego_pts_depth: float = 1.0):
         step = 1
         window = slice(None)
@@ -113,6 +114,13 @@ class Dataset:
             poses = poses[np.asarray(keep, bool)]
         self.poses = dict(zip(ids, poses))
         self.ids = ids[window]
+        # Move poses to the zero origin: the WINDOW's first pose becomes
+        # identity (reference: kitti360.py:259-261). Raw cam0_to_world
+        # translations run to hundreds of meters — float32 world-frame
+        # points would lose mm-level precision otherwise.
+        if zero_origin and self.ids:
+            Tr_inv = np.linalg.inv(self.poses[self.ids[0]])
+            self.poses = {i: Tr_inv @ p for i, p in self.poses.items()}
 
     # --- protocol ------------------------------------------------------
     def local_cloud_path(self, id):

@@ -38,16 +38,17 @@ data_dir = os.path.realpath(os.path.join(data_dir, prefix))
 
 sequence_names = ["01_short_experiment"]
 
-# Eight slice windows (reference: newer_college.py:284-293).
+# Eight slice windows, matching the reference's experiment list exactly
+# (reference: newer_college.py:284-293 — quad / mid sections, step 12).
 dataset_names = [
-    "01_short_experiment/start_0_end_100_step_2",
-    "01_short_experiment/start_100_end_200_step_2",
-    "01_short_experiment/start_200_end_300_step_2",
-    "01_short_experiment/start_300_end_400_step_2",
-    "01_short_experiment/start_400_end_500_step_2",
-    "01_short_experiment/start_500_end_600_step_2",
-    "01_short_experiment/start_600_end_700_step_2",
-    "01_short_experiment/start_700_end_800_step_2",
+    "01_short_experiment/start_0_end_800_step_12",  # quad
+    "01_short_experiment/start_800_end_1600_step_12",
+    "01_short_experiment/start_1600_end_2400_step_12",  # mid
+    "01_short_experiment/start_7000_end_7800_step_12",  # mid-quad
+    "01_short_experiment/start_7800_end_8600_step_12",
+    "01_short_experiment/start_8600_end_9500_step_12",  # quad-mid
+    "01_short_experiment/start_13900_end_14600_step_12",  # mid-quad
+    "01_short_experiment/start_14601_end_15301_step_12",  # mid-quad
 ]
 
 # lidar_origin_to_beam_origin, Ouster OS1 software manual (m).
@@ -116,7 +117,7 @@ class Dataset:
 
     def __init__(self, name: str = "01_short_experiment", path: Optional[str] = None,
                  poses_csv: str = default_poses_csv, poses_path: Optional[str] = None,
-                 zero_origin: bool = False):
+                 zero_origin: bool = True):
         window = slice(None)
         parts = name.split("/")
         if parts and parts[0] == prefix:
@@ -141,10 +142,28 @@ class Dataset:
         if calib is not None:
             # Express cam-frame poses in the lidar frame.
             poses = poses @ calib["T_lidar2cam"]
-        if zero_origin:
-            poses = np.linalg.inv(poses[0])[None] @ poses
         self.poses = dict(zip(stamps, poses))
-        self.ids = stamps[window]
+        # Scan ids come from the clouds actually on disk (reference:
+        # read_available_timestamps, newer_college.py:162-170) — the poses
+        # CSV can hold rows with no matching scan and vice versa; only
+        # stamps present on BOTH sides become ids.
+        scan_dir = os.path.join(self.path, "raw_format", "ouster_scan")
+        if os.path.isdir(scan_dir):
+            disk = []
+            for f in os.listdir(scan_dir):
+                if f.startswith("cloud_") and f.endswith(".pcd"):
+                    s, ns = f[6:-4].split("_")
+                    disk.append((int(s), int(ns)))
+            ids = sorted(t for t in disk if t in self.poses)
+        else:
+            ids = list(stamps)
+        self.ids = ids[window]
+        # Zero origin AFTER window slicing: the window's first pose becomes
+        # identity (reference: newer_college.py:318-320), not the full
+        # sequence's first pose.
+        if zero_origin and self.ids:
+            Tr_inv = np.linalg.inv(self.poses[self.ids[0]])
+            self.poses = {k: Tr_inv @ v for k, v in self.poses.items()}
 
     # --- protocol ------------------------------------------------------
     def local_cloud_path(self, id):

@@ -117,6 +117,12 @@ class Dataset:
         poses = read_kitti_poses(self.poses_path, T_CAM2_TO_VELO)
         self.poses = poses
         self.ids = list(range(len(poses)))[window]
+        # Move poses to the zero origin of the sliced window — the
+        # reference does this unconditionally (semantic_kitti.py:218-221);
+        # raw KITTI world translations run to hundreds of meters.
+        if self.ids:
+            Tr_inv = np.linalg.inv(self.poses[self.ids[0]])
+            self.poses = np.asarray([Tr_inv @ p for p in self.poses])
 
     # --- protocol ------------------------------------------------------
     def local_cloud_path(self, id):

@@ -182,6 +182,16 @@ class NoisyPoseDataset(TransformingDataset):
             pose = pose @ self.random_transform(seed)
         return pose
 
+    def cloud_pose(self, id):
+        # Resolve the positional index so the first-pose exemption applies
+        # identically through both access paths (ds[0] vs cloud_pose(id));
+        # the base implementation passes item=None, which would noise the
+        # first pose here but not via __getitem__.
+        ids = list(self.target.ids)
+        return self.transform_pose(
+            self.target.cloud_pose(id), item=ids.index(id)
+        )
+
 
 class NoisyDepthDataset(TransformingDataset):
     """Along-ray Gaussian depth noise (reference: dataset.py:820-847)."""

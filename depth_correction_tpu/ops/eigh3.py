@@ -90,10 +90,43 @@ def _eigvec_c(a00, a11, a22, a01, a02, a12, lam):
     vy = jnp.where(use1, c1[1], jnp.where(use2, c2[1], c0[1]))
     vz = jnp.where(use1, c1[2], jnp.where(use2, c2[2], c0[2]))
     n = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-40))
-    ok = n > 1e-20
-    vx = jnp.where(ok, vx / n, 1.0)
-    vy = jnp.where(ok, vy / n, 0.0)
-    vz = jnp.where(ok, vz / n, 0.0)
+    # Degenerate eigenvalue (the adjugate vanishes; multiplicity >= 2):
+    # (A - lam I) is rank <= 1 and its ROWS span the remaining simple
+    # eigenvector u, so any unit vector orthogonal to the largest row lies
+    # in lam's eigenspace — unlike a fixed e_x, which generally does not
+    # (and would feed an invalid v^T dA v into the eigenvalue JVP). With
+    # multiplicity 3 the matrix is zero and every direction works.
+    m0 = b00 * b00 + a01 * a01 + a02 * a02
+    m1 = a01 * a01 + b11 * b11 + a12 * a12
+    m2 = a02 * a02 + a12 * a12 + b22 * b22
+    # The adjugate of an (exactly) degenerate matrix is zero only up to
+    # rounding: its entries carry O(eps * |A - lam I|^2) noise, so the
+    # "adjugate usable" test must be RELATIVE to the matrix scale — an
+    # absolute epsilon would happily normalize pure noise into a direction
+    # far outside the eigenspace.
+    eps = jnp.finfo(n.dtype).eps
+    thr = 64.0 * eps * jnp.maximum(jnp.maximum(m0, m1), m2)
+    # Absolute floor: for an all-zero shifted matrix the relative threshold
+    # degenerates to 0 and would accept the zero adjugate.
+    ok = n > jnp.maximum(thr, 1e-20)
+    ruse1 = (m1 >= m0) & (m1 >= m2)
+    ruse2 = (m2 > m0) & (m2 > m1) & ~ruse1
+    ux = jnp.where(ruse1, a01, jnp.where(ruse2, a02, b00))
+    uy = jnp.where(ruse1, b11, jnp.where(ruse2, a12, a01))
+    uz = jnp.where(ruse1, a12, jnp.where(ruse2, b22, a02))
+    # u x e_x = (0, uz, -uy); u x e_y = (-uz, 0, ux): take the larger.
+    usex = uz * uz + uy * uy >= uz * uz + ux * ux
+    fx = jnp.where(usex, 0.0, -uz)
+    fy = jnp.where(usex, uz, 0.0)
+    fz = jnp.where(usex, -uy, ux)
+    fn = jnp.sqrt(jnp.maximum(fx * fx + fy * fy + fz * fz, 1e-40))
+    f_ok = fn > 1e-20
+    fx = jnp.where(f_ok, fx / fn, 1.0)
+    fy = jnp.where(f_ok, fy / fn, 0.0)
+    fz = jnp.where(f_ok, fz / fn, 0.0)
+    vx = jnp.where(ok, vx / n, fx)
+    vy = jnp.where(ok, vy / n, fy)
+    vz = jnp.where(ok, vz / n, fz)
     return vx, vy, vz
 
 
@@ -146,23 +179,15 @@ def eigvecs3(A: jax.Array, lams: jax.Array) -> jax.Array:
     :return: (..., 3, 3) matrix whose COLUMN i is the eigenvector of lams[i]
         (same layout as ``torch.linalg.eigh`` / ``jnp.linalg.eigh``).
     """
-
-    def one_vec(lam):
-        B = A - lam[..., None, None] * jnp.eye(3, dtype=A.dtype)
-        r0, r1, r2 = B[..., 0, :], B[..., 1, :], B[..., 2, :]
-        c0 = jnp.cross(r1, r2)
-        c1 = jnp.cross(r2, r0)
-        c2 = jnp.cross(r0, r1)
-        cands = jnp.stack([c0, c1, c2], axis=-2)  # (..., 3cand, 3)
-        norms = jnp.sum(cands * cands, axis=-1)
-        best = jnp.argmax(norms, axis=-1)
-        v = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
-        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        # Degenerate eigenspace: fall back to e_x (any unit vector is valid).
-        fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
-        return jnp.where(n > 1e-20, v / jnp.maximum(n, 1e-20), fallback)
-
-    vs = [one_vec(lams[..., i]) for i in range(3)]
+    # One implementation for both entry points: the component-form
+    # _eigvec_c carries the relative degenerate-adjugate test and the
+    # in-eigenspace fallback (orthogonal to the largest row).
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    vs = []
+    for i in range(3):
+        vx, vy, vz = _eigvec_c(a00, a11, a22, a01, a02, a12, lams[..., i])
+        vs.append(jnp.stack([vx, vy, vz], axis=-1))
     return jnp.stack(vs, axis=-1)  # columns are eigenvectors
 
 

@@ -100,10 +100,19 @@ def test_semantic_kitti_loader(tmp_path, monkeypatch):
     cloud, pose = ds[0]
     assert cloud.dtype.names == ("x", "y", "z")
     assert len(cloud) == 40
-    # Pose is re-expressed in the velodyne frame: T @ T_cam2_to_velo.
-    expected = np.eye(4)
-    expected[:3, 3] = [1, 0, 0]
-    np.testing.assert_allclose(pose, expected @ sk.T_CAM2_TO_VELO, atol=1e-8)
+    # Poses are zero-origined on the sliced window (reference:
+    # semantic_kitti.py:218-221): the window's first pose is identity and
+    # the next is relative to it, both in the velodyne frame.
+    np.testing.assert_allclose(pose, np.eye(4), atol=1e-8)
+    world = []
+    for i in (1, 2):
+        T = np.eye(4)
+        T[:3, 3] = [i, 0, 0]
+        world.append(T @ sk.T_CAM2_TO_VELO)
+    _, pose1 = ds[1]
+    np.testing.assert_allclose(
+        pose1, np.linalg.inv(world[0]) @ world[1], atol=1e-8
+    )
 
     calib = seq / "calib.txt"
     calib.write_text("Tr: " + " ".join("%.6f" % x for x in np.eye(4)[:3].ravel()) + "\n")

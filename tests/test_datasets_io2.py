@@ -59,9 +59,21 @@ def test_kitti360_loader(tmp_path, monkeypatch):
     assert len(ds) == 2
     cloud, pose = ds[0]
     assert len(cloud) == 30  # ego point removed
-    expected = np.eye(4)
-    expected[:3, 3] = [1, 0, 0]
-    np.testing.assert_allclose(pose, expected @ np.linalg.inv(T_c2v), atol=1e-7)
+    # zero_origin (the reference default, kitti360.py:259-261): the
+    # WINDOW's first pose is identity, the second is relative to it.
+    np.testing.assert_allclose(pose, np.eye(4), atol=1e-7)
+    world = [np.eye(4) for _ in range(2)]
+    world[0][:3, 3] = [1, 0, 0]
+    world[1][:3, 3] = [2, 0, 0]
+    world = [w @ np.linalg.inv(T_c2v) for w in world]
+    _, pose1 = ds[1]
+    np.testing.assert_allclose(
+        pose1, np.linalg.inv(world[0]) @ world[1], atol=1e-7
+    )
+
+    raw = k3.Dataset("kitti360/00_start_1_end_3_step_1", zero_origin=False)
+    _, pose_raw = raw[0]
+    np.testing.assert_allclose(pose_raw, world[0], atol=1e-7)
 
 
 def test_newer_college_loader(tmp_path, monkeypatch):

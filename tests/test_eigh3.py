@@ -129,3 +129,49 @@ def test_float32_accuracy():
     # loss lam1/sum(lam) inherits this scale, staying under the 1e-5 parity
     # budget. Use float64 for strict parity runs.
     np.testing.assert_allclose(lams / scale, lams_ref / scale, atol=2e-5)
+
+
+def test_degenerate_eigvec_lies_in_eigenspace():
+    """Multiplicity-2 eigenvalues: the fallback eigenvector must satisfy
+    A v = lam v (the adjugate vanishes there; a fixed e_x generally is NOT
+    in the eigenspace and would corrupt the eigenvalue JVP)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from depth_correction_tpu.ops.eigh3 import eigh3
+
+    rng = np.random.default_rng(9)
+    mats = []
+    for _ in range(16):
+        # Random rank-1 PSD (lam_min = lam_mid = 0, exactly degenerate) and
+        # random isotropic-plus-rank-1 (lam_mid = lam_max degenerate).
+        u = rng.normal(size=3)
+        u /= np.linalg.norm(u)
+        mats.append(np.outer(u, u))
+        mats.append(np.eye(3) * 2.0 - np.outer(u, u))
+    A = jnp.asarray(np.stack(mats))
+    vals, vecs = eigh3(A)
+    v1 = vecs[..., :, 0]  # smallest eigenvalue's eigenvector
+    resid = jnp.einsum("nij,nj->ni", A, v1) - vals[..., :1] * v1
+    np.testing.assert_allclose(np.asarray(resid), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(v1, axis=-1)), 1.0, atol=1e-6
+    )
+
+    # JVP through the smallest eigenvalue of an exactly-degenerate matrix
+    # is a valid directional derivative: for A = u u^T, lam_min = 0 with
+    # eigenspace orthogonal to u; perturbing A by dA moves lam_min by
+    # v^T dA v for some unit v in that eigenspace (subgradient).
+    u = np.zeros(3); u[0] = 1.0
+    A1 = jnp.asarray(np.outer(u, u))[None]
+
+    def lam_min(a):
+        return eigh3(a)[0][0, 0]
+
+    g = jax.grad(lam_min)(A1)[0]
+    # grad = v v^T for unit v orthogonal to e_x: zero first row/col, trace 1.
+    g = np.asarray(g)
+    sym = 0.5 * (g + g.T)
+    np.testing.assert_allclose(sym[0], 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.trace(sym), 1.0, atol=1e-6)
