@@ -124,6 +124,11 @@ def plot_depth_bias(clouds, cfg, model=None, out_dir: Optional[str] = None):
         keep = np.asarray(cloud.valid)
         if cloud.mask is not None:
             keep = keep & np.asarray(cloud.mask)
+        # Same finite filter as fit_depth_bias: one NaN row (degenerate
+        # neighborhood) would turn the polyfit all-NaN and silently drop
+        # the fit line from every figure.
+        keep = keep & np.isfinite(np.asarray(plane_distances(cloud)))
+        keep = keep & np.isfinite(np.asarray(cloud.inc_angles))
         dist = np.asarray(plane_distances(cloud))[keep]
         inc = np.asarray(cloud.inc_angles)[keep]
         depth = np.asarray(cloud.depth)[keep]

@@ -145,8 +145,11 @@ def joint_learning(
                                                       cfg.jax_float_type())
     )
 
+    # GT references flow through the jit boundary as ARGUMENTS (the 5 cm
+    # scanner map is millions of points; a closure constant would be
+    # literal-pooled into the HLO — CLAUDE.md).
     @jax.jit
-    def probe(params, data):
+    def probe(params, data, gt_map_a, gt_xyz_a):
         """Experiment metrics under the current params."""
         model = params["model"]
         pose_deltas = params.get("pose_deltas")
@@ -154,14 +157,14 @@ def joint_learning(
         delta = _delta_for_seq(pose_deltas, 0, cfg.pose_correction)
         poses = corrected_poses(batch.poses, delta)
         pose_l2 = (
-            jnp.linalg.norm(poses[:, :3, 3] - gt_xyz_j, axis=1).mean()
-            if gt_xyz_j is not None
+            jnp.linalg.norm(poses[:, :3, 3] - gt_xyz_a, axis=1).mean()
+            if gt_xyz_a is not None
             else jnp.nan
         )
-        if gt_map_j is not None:
+        if gt_map_a is not None:
             g = global_cloud(batch, model=model, pose_deltas=delta)
             map_acc = mapping_accuracy(
-                g.get_points(), gt_map_j, icp_inlier_ratio=0.8,
+                g.get_points(), gt_map_a, icp_inlier_ratio=0.8,
                 valid_cloud=g.valid,
             )
         else:
@@ -172,7 +175,10 @@ def joint_learning(
     for it in range(cfg.n_opt_iters):
         loss, new_params, opt_state = step(params, opt_state, data)
         if it % max(metrics_every, 1) == 0 or it == cfg.n_opt_iters - 1:
-            pose_l2, map_acc = probe(params, data)
+            # The FINAL row probes the post-update params — those are what
+            # hist.params holds and the caller saves/returns.
+            probed = new_params if it == cfg.n_opt_iters - 1 else params
+            pose_l2, map_acc = probe(probed, data, gt_map_j, gt_xyz_j)
             hist.iters.append(it)
             hist.train_loss.append(float(loss))
             hist.pose_l2.append(float(pose_l2))

@@ -43,13 +43,18 @@ def sweep_weight(
     w0 = jnp.asarray(np.asarray(base.w), dtype=cfg.jax_float_type())
     loss_fn = make_loss_fn(cfg)
 
-    def at(w_scalar):
+    def at(w_scalar, d):
         w = w0.at[weight_index].set(w_scalar)
         model = dataclasses.replace(base, w=w, exponent=exponent)
-        return loss_fn({"model": model}, data)
+        return loss_fn({"model": model}, d)
 
     grid = jnp.asarray(np.asarray(weights), dtype=cfg.jax_float_type())
-    losses = jax.jit(jax.vmap(at))(grid)
+    # The TrainData tables flow through the jit boundary as ARGUMENTS —
+    # captured as closure constants they get literal-pooled into the HLO
+    # (~7000x slower on TPU, HTTP 413 from the remote compiler; CLAUDE.md).
+    losses = jax.jit(
+        lambda g, d: jax.vmap(lambda w: at(w, d))(g)
+    )(grid, data)
     return np.asarray(grid), np.asarray(losses)
 
 

@@ -37,7 +37,10 @@ def _load_ply(path: str):
     with open(path, "rb") as f:
         header = []
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw_line = f.readline()
+            if not raw_line:
+                raise ValueError("truncated PLY header (no end_header): %s" % path)
+            line = raw_line.decode("ascii", errors="replace").strip()
             header.append(line)
             if line == "end_header":
                 break
@@ -91,10 +94,21 @@ def _load_ply(path: str):
                 (n_v,), dtype="<" + fmts[t], buffer=raw,
                 offset=o, strides=(stride,),
             )
+        # Face list types per the header declaration (exporters vary:
+        # "list uchar int" is common but "list int int" etc. are legal).
+        int_fmt = {"char": "b", "int8": "b", "uchar": "B", "uint8": "B",
+                   "short": "h", "int16": "h", "ushort": "H", "uint16": "H",
+                   "int": "i", "int32": "i", "uint": "I", "uint32": "I"}
+        list_p = next(
+            (p for p in props.get("face", []) if p[0] == "list"), None
+        )
+        cf = int_fmt[list_p[1]] if list_p else "B"
+        xf = int_fmt[list_p[2]] if list_p else "i"
+        cs, xs = struct.calcsize(cf), struct.calcsize(xf)
         faces = []
         for _ in range(n_f):
-            (cnt,) = struct.unpack("<B", f.read(1))
-            idx = struct.unpack("<%di" % cnt, f.read(4 * cnt))
+            (cnt,) = struct.unpack("<" + cf, f.read(cs))
+            idx = struct.unpack("<%d%s" % (cnt, xf), f.read(xs * cnt))
             for a, b in zip(idx[1:-1], idx[2:]):
                 faces.append([idx[0], a, b])
         return verts, np.asarray(faces, np.int64)

@@ -45,7 +45,11 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        # A shipped prebuilt .so without the C++ source is usable as-is.
+        src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else None
+        if not os.path.exists(_LIB) or (
+            src_mtime is not None and os.path.getmtime(_LIB) < src_mtime
+        ):
             _build_error = _build()
             if _build_error is not None:
                 return None

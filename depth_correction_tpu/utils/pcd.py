@@ -30,7 +30,10 @@ def read_pcd(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         header = {}
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw_line = f.readline()
+            if not raw_line:  # EOF before DATA: a blank line is b"\n"
+                raise ValueError("truncated PCD header (no DATA line): %s" % path)
+            line = raw_line.decode("ascii", errors="replace").strip()
             if not line or line.startswith("#"):
                 continue
             key, _, value = line.partition(" ")

@@ -41,7 +41,10 @@ def read_ply_structured(path: str) -> np.ndarray:
         current = None
         order = []
         while True:
-            line = f.readline().decode("ascii", errors="replace").strip()
+            raw_line = f.readline()
+            if not raw_line:
+                raise ValueError("truncated PLY header (no end_header): %s" % path)
+            line = raw_line.decode("ascii", errors="replace").strip()
             if line == "end_header":
                 break
             parts = line.split()

@@ -54,7 +54,11 @@ def visualize_incidence_angles(clouds: Sequence, bins: int = 36, ax=None,
     import matplotlib.pyplot as plt
 
     n = len(clouds)
-    fig, axes = plt.subplots(1, n, figsize=(4 * n, 3), squeeze=False)
+    if ax is not None:
+        axes = np.atleast_2d(ax)
+        fig = axes[0, 0].figure
+    else:
+        fig, axes = plt.subplots(1, n, figsize=(4 * n, 3), squeeze=False)
     for i, cloud in enumerate(clouds):
         inc = np.asarray(cloud.inc_angles).ravel()
         if getattr(cloud, "valid", None) is not None:
@@ -125,7 +129,26 @@ def plot_cloud_poses(clouds, poses=None, color_by: Optional[str] = None,
     ):
         clouds = [clouds]
     pts = np.concatenate([to_pts(c) for c in clouds])
-    values = np.asarray(color_by).ravel() if color_by is not None else pts[:, 2]
+    if color_by is not None:
+        values = np.asarray(color_by).ravel()
+        if len(values) != len(pts):
+            # Per-point values were given for the PADDED clouds: apply the
+            # same validity filter to_pts applied to the coordinates.
+            keep = np.concatenate([
+                np.asarray(c.valid).ravel()
+                if hasattr(c, "valid") and getattr(c, "valid", None) is not None
+                else np.ones(len(to_pts(c)), bool)
+                for c in clouds
+            ])
+            if len(values) == len(keep):
+                values = values[keep]
+            else:
+                raise ValueError(
+                    "color_by has %d values for %d plotted points"
+                    % (len(values), len(pts))
+                )
+    else:
+        values = pts[:, 2]
     if len(pts) > max_points:
         sel = np.random.default_rng(0).choice(len(pts), max_points, replace=False)
         pts, values = pts[sel], values[sel]

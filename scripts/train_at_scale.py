@@ -84,10 +84,17 @@ def main(argv=None):
     params = {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))}
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
+    # Freeze the exponent like train() does (trainable_mask) — otherwise
+    # Adam drifts it and the recovered w is measured against a different
+    # basis function than the injected {w, exponent=4} bias.
+    from depth_correction_tpu.models import trainable_mask
+
+    gmask = {"model": trainable_mask(params["model"])}
 
     @jax.jit
     def step(params, opt_state, data):
         loss, grads = jax.value_and_grad(loss_fn)(params, data)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, gmask)
         updates, opt_state = tx.update(grads, opt_state, params)
         return loss, optax.apply_updates(params, updates), opt_state
 
