@@ -44,7 +44,11 @@ def project_range_image(
     v = (fov_up - elevation) / (fov_up - fov_down) * height
     ui = jnp.clip(u.astype(jnp.int32), 0, width - 1)
     vi = jnp.clip(v.astype(jnp.int32), 0, height - 1)
-    inside = ok & (v >= 0) & (v < height)
+    # Inclusive bottom edge: a beam at EXACTLY fov_down projects to
+    # v == height and belongs in row height-1 (vi clips it there), like
+    # the top edge v == 0 stays in row 0 — otherwise the common
+    # linspace(fov_down, fov_up, H) beam layout loses its whole bottom row.
+    inside = ok & (v >= 0) & (v <= height)
 
     flat = vi * width + ui
     big = jnp.asarray(jnp.inf, depth.dtype)

@@ -124,6 +124,15 @@ struct KDTree {
 
   // k nearest neighbors of q within optional radius bound r (r < 0 = none).
   void knn(const double* q, int k, double r, int64_t* out_idx, double* out_dist) const {
+    // Empty tree or k <= 0: all-miss output. Visiting node 0 of an empty
+    // nodes vector (or heap.top() with k == 0) is undefined behavior.
+    if (nodes.empty() || k <= 0) {
+      for (int64_t i = 0; i < k; ++i) {
+        out_idx[i] = -1;
+        out_dist[i] = std::numeric_limits<double>::infinity();
+      }
+      return;
+    }
     // Max-heap of (dist2, idx) of current best k.
     using Entry = std::pair<double, int64_t>;
     std::priority_queue<Entry> heap;
@@ -177,6 +186,10 @@ struct KDTree {
 
   // Up to kmax neighbors within radius r, sorted by distance; returns count.
   int64_t radius(const double* q, double r, int kmax, int64_t* out_idx) const {
+    if (nodes.empty()) {
+      for (int64_t i = 0; i < kmax; ++i) out_idx[i] = -1;
+      return 0;
+    }
     std::vector<std::pair<double, int64_t>> found;
     double r2 = r * r;
     std::vector<int32_t> stack{0};

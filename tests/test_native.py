@@ -100,3 +100,22 @@ def test_native_neighbors_backend_in_preproc():
     a, b = np.asarray(idx_n), np.asarray(idx_s)
     for ra, rb in zip(a, b):
         assert set(ra[ra >= 0].tolist()) == set(rb[rb >= 0].tolist())
+
+
+def test_native_empty_tree_and_k0():
+    """Querying an empty KD-tree (all points filtered out) must miss
+    cleanly, not read out-of-bounds (previously a segfault)."""
+    import numpy as np
+    import pytest
+
+    from depth_correction_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from depth_correction_tpu.utils.native import KDTree
+
+    t = KDTree(np.empty((0, 3)))
+    d, i = t.query(np.zeros((4, 3)), k=3)
+    assert (np.asarray(i) < 0).all() and np.isinf(np.asarray(d)).all()
+    idx, cnt = t.query_ball(np.zeros((4, 3)), 0.5, 8)
+    assert (np.asarray(idx) < 0).all() and (np.asarray(cnt) == 0).all()
