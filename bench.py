@@ -52,8 +52,9 @@ def _devices_or_retry():
     """First device touch, resilient to transient tunnel failures.
 
     The TPU tunnel can refuse with ``Unable to initialize backend ...
-    UNAVAILABLE`` for stretches of minutes-to-hours (observed: three
-    consecutive failures over ~90 min). JAX caches the failed backend for
+    UNAVAILABLE`` for stretches of minutes-to-hours (observed: outages
+    exceeding 2 h; each failed attempt itself takes ~25 min to detect, so
+    the default budget spans ~5 h). JAX caches the failed backend for
     the process lifetime, so an in-process retry would return the same
     error instantly — instead re-exec this script (still ONE TPU process
     at any time) after a pause, up to DC_BENCH_BACKEND_RETRIES times.
@@ -70,7 +71,7 @@ def _devices_or_retry():
         if "UNAVAILABLE" not in str(e):
             raise
         attempt = int(os.environ.get("DC_BENCH_BACKEND_ATTEMPT", "0"))
-        max_att = int(os.environ.get("DC_BENCH_BACKEND_RETRIES", "4"))
+        max_att = int(os.environ.get("DC_BENCH_BACKEND_RETRIES", "10"))
         if attempt >= max_att:
             raise
         delay = int(os.environ.get("DC_BENCH_BACKEND_DELAY_S", "240"))
