@@ -1,0 +1,155 @@
+"""Cell-window moments kernel: parity vs the gather path (interpret mode).
+
+The kernel must reproduce the UNCAPPED within-r graph's moments and
+gradients exactly (up to summation order) — including exception rows,
+which route through the gather path.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from depth_correction_tpu.ops.cellwin import (
+    build_cellwin_graph,
+    cellwin_moments,
+    graph_to_device,
+)
+from depth_correction_tpu.ops.features import (
+    _moments_impl,
+    permute_rows,
+)
+
+
+def _uncapped_graph(pts, r):
+    """(Mq=N, K) within-r neighbor matrix via scipy (includes self)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts)
+    lists = tree.query_ball_point(pts, r)
+    k = max(len(l) for l in lists)
+    nn = np.full((len(pts), k), -1, np.int64)
+    for i, l in enumerate(lists):
+        nn[i, : len(l)] = sorted(l)
+    return nn
+
+
+def _setup(n=3000, r=0.35, seed=0, plane_frac=0.5):
+    rng = np.random.default_rng(seed)
+    # half on a plane (dense, thin cells), half in a box (3-D occupancy)
+    n1 = int(n * plane_frac)
+    p1 = np.c_[rng.uniform(-3, 3, (n1, 2)), 0.02 * rng.standard_normal(n1)]
+    p2 = rng.uniform(-3, 3, (n - n1, 3))
+    pts = np.vstack([p1, p2])
+    nn = _uncapped_graph(pts, r)
+    qrows = np.arange(len(pts))
+    # drop some rows to exercise compaction (rows != points)
+    qrows = qrows[rng.uniform(size=len(pts)) < 0.7]
+    nn = nn[qrows]
+    return pts, qrows, nn
+
+
+def _gather_moments(pts, nn):
+    w = (nn >= 0).astype(pts.dtype)
+    mean, comps, w_sum = _moments_impl(
+        jnp.asarray(pts), jnp.asarray(nn), jnp.asarray(w)
+    )
+    return mean, comps
+
+
+def test_cellwin_forward_parity():
+    pts, qrows, nn = _setup()
+    r = 0.35
+    g = build_cellwin_graph(
+        pts, np.ones(len(pts), bool), qrows, nn, r,
+        row_cap=64, pt_cap=64, span_limit=256,
+    )
+    assert g is not None
+    dev = graph_to_device(g)
+    pts_j = jnp.asarray(pts)
+    pts_sorted = permute_rows(pts_j, dev.perm, dev.inv)
+    mean_c, comps_c = cellwin_moments(pts_sorted, dev)
+
+    mean_g, comps_g = _gather_moments(pts, nn)
+
+    # padded row slot -> original compacted row
+    row_map = np.asarray(dev.row_map)
+    sel = row_map >= 0
+    np.testing.assert_allclose(
+        np.asarray(mean_c)[:, sel], np.asarray(mean_g)[:, row_map[sel]],
+        rtol=1e-9, atol=1e-10,
+    )
+    for cc, cg in zip(comps_c, comps_g):
+        np.testing.assert_allclose(
+            np.asarray(cc)[sel], np.asarray(cg)[row_map[sel]],
+            rtol=1e-8, atol=1e-9,
+        )
+
+
+def test_cellwin_gradient_parity():
+    pts, qrows, nn = _setup(n=1500, seed=1)
+    r = 0.35
+    g = build_cellwin_graph(
+        pts, np.ones(len(pts), bool), qrows, nn, r,
+        row_cap=64, pt_cap=64, span_limit=256,
+    )
+    assert g is not None
+    dev = graph_to_device(g)
+    row_map = np.asarray(dev.row_map)
+    sel = row_map >= 0
+    # arbitrary fixed per-row weights so every cotangent is exercised
+    rng = np.random.default_rng(3)
+    wm = jnp.asarray(rng.standard_normal(int(sel.sum())))
+    wg = jnp.zeros(row_map.shape[0]).at[np.flatnonzero(sel)].set(wm)
+
+    def f_cell(p):
+        ps = permute_rows(p, dev.perm, dev.inv)
+        mean, comps = cellwin_moments(ps, dev)
+        return jnp.sum(wg * (comps[0] + 0.7 * comps[3] + 0.3 * comps[5]
+                             + 0.11 * mean[1]))
+
+    def f_gather(p):
+        w = (jnp.asarray(nn) >= 0).astype(p.dtype)
+        mean, comps, _ = _moments_impl(p, jnp.asarray(nn), w)
+        wr = jnp.zeros(mean.shape[1]).at[row_map[sel]].set(wm)
+        return jnp.sum(wr * (comps[0] + 0.7 * comps[3] + 0.3 * comps[5]
+                             + 0.11 * mean[1]))
+
+    p = jnp.asarray(pts)
+    v1, g1 = jax.value_and_grad(f_cell)(p)
+    v2, g2 = jax.value_and_grad(f_gather)(p)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-7, atol=1e-8
+    )
+
+
+def test_cellwin_exception_rows():
+    """A pair exactly at distance r is boundary-ambiguous: its rows must be
+    flagged and recomputed through the gather path — parity still exact."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-1, 1, (400, 3))
+    r = 0.5
+    pts[1] = pts[0] + np.array([r, 0.0, 0.0])  # exactly at the boundary
+    nn = _uncapped_graph(pts, r)
+    qrows = np.arange(len(pts))
+    g = build_cellwin_graph(
+        pts, np.ones(len(pts), bool), qrows, nn, r,
+        row_cap=32, pt_cap=32, span_limit=256,
+    )
+    assert g is not None and g.n_exc >= 1
+    dev = graph_to_device(g)
+    ps = permute_rows(jnp.asarray(pts), dev.perm, dev.inv)
+    mean_c, comps_c = cellwin_moments(ps, dev)
+    mean_g, comps_g = _gather_moments(pts, nn)
+    row_map = np.asarray(dev.row_map)
+    sel = row_map >= 0
+    np.testing.assert_allclose(
+        np.asarray(mean_c)[:, sel], np.asarray(mean_g)[:, row_map[sel]],
+        rtol=1e-9, atol=1e-10,
+    )
+    for cc, cg in zip(comps_c, comps_g):
+        np.testing.assert_allclose(
+            np.asarray(cc)[sel], np.asarray(cg)[row_map[sel]],
+            rtol=1e-8, atol=1e-9,
+        )
