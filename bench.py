@@ -130,6 +130,9 @@ def build_workload():
     cfg.float_type = "float32"
     # A/B knob: Morton-ordered point table (see cfg.spatial_sort).
     cfg.spatial_sort = bool(int(os.environ.get("DC_SPATIAL_SORT", "0")))
+    # A/B knob: moments engine ('gather' | 'cellwin', see
+    # cfg.moments_backend; cellwin implies uncapped establishment).
+    cfg.moments_backend = os.environ.get("DC_MOMENTS_BACKEND", "gather")
     cfg.dataset = "open_box"
     cfg.train_names = ["open_box/n_6_size_20_20_5_height_1_density_400"]
     cfg.min_depth, cfg.max_depth = 1.0, 25.0

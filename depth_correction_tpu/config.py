@@ -174,6 +174,16 @@ class Config(Configurable):
         # 'grid' forces the grid-hash engine; 'scipy' = host cKDTree (the
         # reference's index); 'native' = bundled C++ KD-tree.
         self.nn_backend = None
+        # Hot-loop moments engine. 'gather' (default) recomputes the frozen
+        # neighborhoods' moments via lane-axis gathers with the analytic
+        # bucketed-transpose backward. 'cellwin' uses the Pallas cell-window
+        # kernel (ops/cellwin.py): span DMAs + dense MXU matmuls with
+        # membership recomputed from static establishment positions —
+        # implies UNCAPPED within-r establishment (the reference's
+        # query_ball_point semantics; nn_max_neighbors is ignored) and
+        # falls back to 'gather' when ineligible (plane mode, nn_scale,
+        # kNN graphs, meshes, spatial_sort) or when the build declines.
+        self.moments_backend = "gather"
         # Mutual-pair trimming when neighbor lists are truncated (kNN or
         # nn_max_neighbors): bounds the transpose in-degree by K, keeping the
         # analytic gradient's gather as cheap as the forward. No-op for

@@ -154,6 +154,13 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
             "prepare_sequences(..., mesh=mesh) (or via cfg.mesh_shape, "
             "which disables the sort) before sharding"
         )
+    if any(c is not None for c in (getattr(data, "cellwin", ()) or ())):
+        # The cell-window kernels are a single-device engine; the sharded
+        # step builds its own per-shard transpose graphs from
+        # data.neighbors below, so simply drop the cellwin graphs.
+        import dataclasses as _dc
+
+        data = _dc.replace(data, cellwin=())
     if any(o is not None for o in (getattr(data, "offsets", ()) or ())):
         raise NotImplementedError(
             "static TrainData.offsets are not consumed by the sharded loss; "

@@ -120,6 +120,12 @@ class TrainData:
     # in sorted space and the loss permutes the position table in-step
     # (ops.features.permute_rows — exact gather backward).
     point_perm: tuple = ()
+    # Cell-window moments engine (cfg.moments_backend == 'cellwin'):
+    # ops.cellwin.CellWinDevice per sequence, or None. When set, the loss
+    # computes the global moments with the Pallas cell-window kernels and
+    # the feature rows live in the graph's padded tile layout (masks come
+    # from cellwin[i].row_map; t_neighbors stay None).
+    cellwin: tuple = ()
 
 
 def prepare_sequences(datasets, cfg: Config, mesh=None,
@@ -154,6 +160,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
     icp_idx = []
     icp_w = []
     point_perm = []
+    cellwin = []
     for ds in datasets:
         clouds, poses = [], []
         local_nns: List[jax.Array] = []
@@ -239,6 +246,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             off_weights.append(None)
             off_transpose.append(None)
             point_perm.append(None)
+            cellwin.append(None)
             continue
         icp_idx.append(None)
         icp_w.append(None)
@@ -258,8 +266,29 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             off_weights.append(None)
             off_transpose.append(None)
             point_perm.append(None)
+            cellwin.append(None)
             continue
-        nn, w = establish_neighborhoods(gcloud, cfg, mesh=mesh)
+        use_cellwin = (
+            getattr(cfg, "moments_backend", "gather") == "cellwin"
+            and mesh is None
+            and for_grad
+            and cfg.nn_scale is None
+            and bool(cfg.nn_r)
+            and not cfg.nn_k
+            and not cfg.spatial_sort
+        )
+        if use_cellwin:
+            # The cell-window kernel recomputes membership as d2 <= r2 from
+            # static establishment positions, which is exact only for the
+            # UNCAPPED within-r graph (the reference's query_ball_point
+            # semantics) — so establishment ignores nn_max_neighbors and
+            # mutual trimming for this backend.
+            est_cfg = cfg.copy()
+            est_cfg.nn_max_neighbors = None
+            est_cfg.nn_symmetrize = False
+            nn, w = establish_neighborhoods(gcloud, est_cfg)
+        else:
+            nn, w = establish_neighborhoods(gcloud, cfg, mesh=mesh)
         feat = compute_neighborhood_features(gcloud, nn, w, cfg)
         # Carry the local planar masks into the global mask
         # (reference: train.py:212-215).
@@ -322,6 +351,34 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
         # (Mq,) row -> point-table gather (reference: depth_cloud.py:362-363).
         query_rows.append(qrows)
 
+        # Cell-window moments graph (cfg.moments_backend == 'cellwin'): the
+        # hot loop then computes the global moments with the Pallas kernels
+        # (span DMAs + dense matmuls) instead of per-index gathers; build
+        # failures (too-dense windows, too many boundary rows) fall back to
+        # the gather path on the already-established uncapped graph.
+        cw_dev = None
+        if use_cellwin:
+            from .ops.cellwin import build_cellwin_graph, graph_to_device
+
+            g = build_cellwin_graph(
+                np.asarray(gcloud.get_points(), np.float64),
+                np.asarray(gcloud.valid),
+                np.asarray(qrows),
+                np.asarray(nn_c),
+                float(cfg.nn_r),
+            )
+            if g is not None:
+                cw_dev = graph_to_device(g)
+                print(
+                    "[prep] cellwin graph: %d rows -> %d tiles x %d "
+                    "(span cap %d/%d), %d exception rows"
+                    % (g.n_rows, g.n_row_tiles, g.row_cap, g.span_cap,
+                       g.rspan_cap, g.n_exc)
+                )
+            else:
+                print("[prep] cellwin build declined; using gather moments")
+        cellwin.append(cw_dev)
+
         # Dynamic loss offset (reference: preproc.py:67-77, loss.py:279-281):
         # carry the frozen LOCAL (per-scan) neighborhoods of the query rows so
         # the loss can re-evaluate the local pointwise consistency under the
@@ -347,6 +404,15 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
                 jnp.take(flat_nn, jnp.maximum(qrows, 0), axis=0),
                 -1,
             )
+            if cw_dev is not None:
+                # The cellwin feature rows live in the padded tile layout;
+                # re-index the per-row offset graphs through row_map.
+                rm = cw_dev.row_map
+                onn = jnp.where(
+                    (rm >= 0)[:, None],
+                    jnp.take(onn, jnp.maximum(rm, 0), axis=0),
+                    -1,
+                )
             ow = (onn >= 0).astype(jnp.asarray(w).dtype)
             off_neighbors.append(onn)
             off_weights.append(ow)
@@ -368,8 +434,9 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             off_weights.append(None)
             off_transpose.append(None)
 
-        if mesh is not None or not for_grad:
-            # Same: shard_train_data replaces these with per-shard stacked
+        if cw_dev is not None or mesh is not None or not for_grad:
+            # cellwin carries its own backward kernel; under a mesh,
+            # shard_train_data replaces these with per-shard stacked
             # transposes (or skips them for nn_scale, whose weights
             # recompute in-step); forward-only evaluation never takes the
             # VJP these graphs serve.
@@ -409,6 +476,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
         icp_idx=tuple(icp_idx),
         icp_w=tuple(icp_w),
         point_perm=tuple(point_perm),
+        cellwin=tuple(cellwin),
     )
 
 
@@ -560,8 +628,17 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
         pose_deltas = params.get("pose_deltas")
         feats = []
         dyn_offsets = []
+        seq_masks = []
         for i, batch in enumerate(data.batches):
             delta = _delta_for_seq(pose_deltas, i, mode)
+            cw = (
+                data.cellwin[i]
+                if getattr(data, "cellwin", ()) and i < len(data.cellwin)
+                else None
+            )
+            seq_masks.append(
+                cw.row_map >= 0 if cw is not None else data.masks[i]
+            )
             if plane_mode:
                 # Model applies inside the plane features (plane normals
                 # supply the incidence angles; reference: eval.py:95-96).
@@ -570,6 +647,22 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
                 gcloud = global_cloud(batch, model=None, pose_deltas=delta)
                 feat = plane_neighborhood_features(
                     gcloud, data.neighbors[i], model, cfg
+                )
+            elif cw is not None:
+                # Cell-window moments: the Pallas kernels consume the
+                # padded cell-sorted point layout; rows live in the graph's
+                # padded tile layout (ops/cellwin.py).
+                from .ops.cellwin import cellwin_features
+                from .ops.features import permute_rows
+
+                gcloud = global_cloud(batch, model=model, pose_deltas=delta)
+                ps = permute_rows(gcloud.get_points(), cw.perm, cw.inv)
+                f = cellwin_features(ps, cw)
+                feat = FeatureRows(
+                    eigvals=f["eigvals"],
+                    trace=f["trace"],
+                    cov=None,
+                    valid=seq_masks[-1],
                 )
             else:
                 from .ops.features import neighborhood_features, permute_rows
@@ -621,7 +714,7 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
             offsets = list(data.offsets)
         else:
             offsets = None
-        value, _ = loss_fun(list(feats), mask=list(data.masks), offset=offsets)
+        value, _ = loss_fun(list(feats), mask=seq_masks, offset=offsets)
         return value
 
     return loss_fn

@@ -153,3 +153,65 @@ def test_cellwin_exception_rows():
             np.asarray(cc)[sel], np.asarray(cg)[row_map[sel]],
             rtol=1e-8, atol=1e-9,
         )
+
+
+def _tiny_cfg(tmp_path, backend):
+    from depth_correction_tpu.config import Config
+
+    cfg = Config()
+    cfg.log_dir = str(tmp_path / ("exp_" + backend))
+    cfg.float_type = "float64"
+    cfg.train_names = ["ground_plane/4"]
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 20.0, 0.25
+    cfg.nn_r, cfg.nn_k = 0.4, 0
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = []
+    cfg.min_valid_neighbors = 3
+    cfg.model_kwargs = {"w": [0.0], "exponent": [4.0]}
+    cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+    cfg.loss_kwargs = {"sqrt": False, "normalization": True}
+    cfg.moments_backend = backend
+    return cfg
+
+
+def test_cellwin_loss_matches_gather_backend(tmp_path):
+    """Same config, same (uncapped) graph: the two moments engines must
+    agree on the loss value and its model gradient."""
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+
+    vals = {}
+    grads = {}
+    for backend in ("gather", "cellwin"):
+        cfg = _tiny_cfg(tmp_path, backend)
+        ds = create_dataset(cfg.train_names[0], cfg)
+        data = prepare_sequences([ds], cfg)
+        if backend == "cellwin":
+            assert data.cellwin[0] is not None, "cellwin build declined"
+        loss_fn = make_loss_fn(cfg)
+        params = {
+            "model": ScaledPolynomial(
+                w=jnp.asarray([-1e-3]), exponent=jnp.asarray([4.0])
+            )
+        }
+        val, g = jax.value_and_grad(lambda p: loss_fn(p, data))(params)
+        vals[backend] = float(val)
+        grads[backend] = float(np.asarray(g["model"].w)[0])
+    np.testing.assert_allclose(vals["cellwin"], vals["gather"], rtol=1e-9)
+    np.testing.assert_allclose(grads["cellwin"], grads["gather"], rtol=1e-6)
+
+
+def test_cellwin_train_recovers_bias(tmp_path):
+    """train() end to end with the cellwin engine recovers the injected
+    depth bias like the gather engine does."""
+    from depth_correction_tpu.models import load_model
+    from depth_correction_tpu.train import train
+
+    cfg = _tiny_cfg(tmp_path, "cellwin")
+    cfg.loss_kwargs = {"sqrt": False, "normalization": False}
+    cfg.lr, cfg.n_opt_iters = 1e-4, 60
+    best = train(cfg)
+    m = load_model(cfg=best)
+    w = float(np.asarray(m.w)[0])
+    assert -0.0026 < w < -0.0012, w
