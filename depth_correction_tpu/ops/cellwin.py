@@ -342,7 +342,11 @@ def build_cellwin_graph(
     )
     q_est[:3, ~sel] = -1e15
 
+    # Lane-aligned span caps: the kernels' window tiles and DMAs then sit
+    # on (8, 128k) boundaries (TPU pads the minor dim to 128 lanes anyway;
+    # the extra DMA bytes are cheap next to unaligned vector ops).
     span_cap = int(max(f_span_len.max(initial=1), 1))
+    span_cap = -(-span_cap // 128) * 128
 
     # ---- backward span tables: point tiles windowed over padded rows ----
     row_starts_padded = _dense_starts(lin_rows_padded, n_cells)
@@ -359,7 +363,8 @@ def build_cellwin_graph(
             [cx + 0.5, (ylo + yhi + 1) * 0.5, (zlo + zhi + 1) * 0.5]
         )
     rspan_cap = int(max(b_span_len.max(initial=1), 1))
-    if rspan_cap > 2 * span_limit:
+    rspan_cap = -(-rspan_cap // 128) * 128
+    if rspan_cap > 2 * span_limit + 128:
         return None
 
     # ---- exactness audit: simulate the kernel membership in f64 ----

@@ -369,14 +369,22 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             )
             if g is not None:
                 cw_dev = graph_to_device(g)
+                import sys as _sys
+
                 print(
                     "[prep] cellwin graph: %d rows -> %d tiles x %d "
                     "(span cap %d/%d), %d exception rows"
                     % (g.n_rows, g.n_row_tiles, g.row_cap, g.span_cap,
-                       g.rspan_cap, g.n_exc)
+                       g.rspan_cap, g.n_exc),
+                    file=_sys.stderr,
                 )
             else:
-                print("[prep] cellwin build declined; using gather moments")
+                import sys as _sys
+
+                print(
+                    "[prep] cellwin build declined; using gather moments",
+                    file=_sys.stderr,
+                )
         cellwin.append(cw_dev)
 
         # Dynamic loss offset (reference: preproc.py:67-77, loss.py:279-281):

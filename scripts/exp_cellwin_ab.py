@@ -1,0 +1,141 @@
+"""A/B: cell-window Pallas moments engine vs the gather engine, same graph.
+
+Measures the full jitted training step (loss + grad + Adam) on the bench
+workload with BOTH moments backends over the SAME uncapped within-r graph
+(the gather engine also runs uncapped here, so the comparison isolates the
+engine, not the graph). Phantom-safe timing: steps chain through the
+params/opt-state dependency and the loop ends in a float() sync.
+
+Run on the TPU (no env overrides) or on CPU with
+  JAX_PLATFORMS=cpu python scripts/exp_cellwin_ab.py      # interpret mode
+
+DC_CELLWIN_CACHE=<path> caches the prepared workloads for iteration.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STEPS = 20
+WARMUP = 3
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser(
+            "~/.cache/jax_dctpu_tpu"
+            if jax.default_backend() == "tpu"
+            else "~/.cache/jax_dctpu_cpu"
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+
+    def bench_cfg(backend):
+        cfg = Config()
+        cfg.float_type = "float32"
+        cfg.dataset = "open_box"
+        cfg.train_names = ["open_box/n_6_size_20_20_5_height_1_density_400"]
+        cfg.min_depth, cfg.max_depth = 1.0, 25.0
+        cfg.grid_res = 0.1
+        cfg.nn_r, cfg.nn_k = 0.25, 0
+        cfg.nn_backend = "grid"
+        # SAME graph for both engines: uncapped within-r (what cellwin
+        # requires; the bench's usual nn_max_neighbors=32 cap is off).
+        cfg.nn_max_neighbors = None
+        cfg.min_valid_neighbors = 5
+        cfg.vp_dispersion_bounds = []
+        cfg.eigenvalue_ratio_bounds = [[0, 1, 0, 0.25], [1, 2, 0.25, 1.0]]
+        cfg.loss = "min_eigval_loss"
+        cfg.loss_kwargs = {"sqrt": False, "normalization": True}
+        cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+        cfg.lr = 2e-4
+        cfg.moments_backend = backend
+        return cfg
+
+    cache = os.environ.get("DC_CELLWIN_CACHE")
+    datas = {}
+    if cache and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            datas_np = pickle.load(f)
+        datas = {
+            k: jax.tree_util.tree_map(jnp.asarray, v)
+            for k, v in datas_np.items()
+        }
+        print("[ab] workloads loaded from %s" % cache, file=sys.stderr)
+    else:
+        for backend in ("gather", "cellwin"):
+            t0 = time.perf_counter()
+            cfg = bench_cfg(backend)
+            ds = create_dataset(cfg.train_names[0], cfg)
+            datas[backend] = prepare_sequences([ds], cfg)
+            print(
+                "[ab] %s prep: %.0f s" % (backend, time.perf_counter() - t0),
+                file=sys.stderr,
+            )
+        if cache:
+            with open(cache, "wb") as f:
+                pickle.dump(
+                    {
+                        k: jax.tree_util.tree_map(np.asarray, v)
+                        for k, v in datas.items()
+                    },
+                    f,
+                )
+
+    for backend in ("gather", "cellwin"):
+        cfg = bench_cfg(backend)
+        data = datas[backend]
+        if backend == "cellwin":
+            assert data.cellwin[0] is not None, "cellwin build declined"
+        device = jax.devices()[0]
+        data = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, device), data
+        )
+        loss_fn = make_loss_fn(cfg)
+        params = {
+            "model": ScaledPolynomial(
+                w=jnp.zeros(1), exponent=jnp.asarray([4.0])
+            )
+        }
+        tx = optax.adam(cfg.lr)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, data):
+            loss, grads = jax.value_and_grad(loss_fn)(params, data)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return loss, optax.apply_updates(params, updates), opt_state
+
+        for _ in range(WARMUP):
+            loss, params, opt_state = step(params, opt_state, data)
+        jax.block_until_ready((loss, params))
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            loss, params, opt_state = step(params, opt_state, data)
+        final = float(loss)
+        ms = (time.perf_counter() - t0) / STEPS * 1e3
+        n_rows = int(np.asarray(data.masks[0]).sum())
+        print(
+            "[ab] %-7s %.3f ms/step  (loss %.4e, %d loss rows)"
+            % (backend, ms, final, n_rows)
+        )
+
+
+if __name__ == "__main__":
+    main()
