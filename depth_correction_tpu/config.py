@@ -184,6 +184,11 @@ class Config(Configurable):
         # falls back to 'gather' when ineligible (plane mode, nn_scale,
         # kNN graphs, meshes, spatial_sort) or when the build declines.
         self.moments_backend = "gather"
+        # cellwin tile z-extent limit in cells (None = unlimited): small
+        # values shrink the dense candidate windows (less masked-matmul
+        # work) at the cost of more tiles (more DMA issues) — a
+        # per-workload tuning knob for the cell-window engine.
+        self.cellwin_z_max = None
         # Mutual-pair trimming when neighbor lists are truncated (kNN or
         # nn_max_neighbors): bounds the transpose in-degree by K, keeping the
         # analytic gradient's gather as cheap as the forward. No-op for

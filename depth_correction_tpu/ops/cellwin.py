@@ -130,14 +130,18 @@ def _cell_grid(pts: np.ndarray, valid: np.ndarray, cell: float,
     return cc, lin, mins, dims, cell
 
 
-def _build_tiles(cc_sorted: np.ndarray, cap: int, span_budget_probe):
+def _build_tiles(cc_sorted: np.ndarray, cap: int, span_budget_probe,
+                 z_max: Optional[int] = None):
     """Greedy tiles over cell-sorted items.
 
     A tile is a run of consecutive sorted items sharing one x-column, with
-    a y-span of at most Y_MAX columns, at most ``cap`` items, and whose
-    window spans (checked via ``span_budget_probe(cx, ylo, yhi, zlo, zhi)``
-    -> max span length) stay within the caller's budget. Returns a list of
-    (start, end) item ranges plus each tile's (cx, ylo, yhi, zlo, zhi).
+    a y-span of at most Y_MAX columns, a z-extent of at most ``z_max``
+    cells (None = unlimited; small z_max trades window size — dense-pair
+    work — for more tiles — DMA issue overhead), at most ``cap`` items,
+    and whose window spans (checked via
+    ``span_budget_probe(cx, ylo, yhi, zlo, zhi)`` -> max span length) stay
+    within the caller's budget. Returns a list of (start, end) item ranges
+    plus each tile's (cx, ylo, yhi, zlo, zhi).
     """
     n = cc_sorted.shape[0]
     tiles = []
@@ -150,6 +154,10 @@ def _build_tiles(cc_sorted: np.ndarray, cap: int, span_budget_probe):
         while j < n and (j - i) < cap:
             x2, y2, z2 = cc_sorted[j]
             if x2 != cx or (y2 - ylo) >= Y_MAX:
+                break
+            if z_max is not None and (
+                max(zhi, z2) - min(zlo, z2) + 1 > z_max
+            ):
                 break
             ok = span_budget_probe(
                 cx, ylo, max(yhi, y2), min(zlo, z2), max(zhi, z2)
@@ -209,8 +217,9 @@ def build_cellwin_graph(
     row_cap: int = 256,
     pt_cap: int = 256,
     span_limit: int = 512,
-    eps_rel: float = 1e-4,
+    eps_rel: float = 2e-5,
     max_exc_frac: float = 0.05,
+    z_max: Optional[int] = None,
 ) -> Optional[CellWinGraph]:
     """Build the static cell-window graph, or None when ineligible.
 
@@ -225,6 +234,11 @@ def build_cellwin_graph(
         VMEM).
     :param max_exc_frac: give up (return None) when more than this fraction
         of rows needs the gather fallback — the kernel would win nothing.
+    :param eps_rel: boundary-ambiguity margin, relative to r^2. The kernels
+        classify membership in f32 difference form (error a few ulps of
+        ~r^2, i.e. ~1e-7 relative); 2e-5 gives two orders of margin while
+        keeping the exception-row fraction low on dense graphs.
+    :param z_max: tile z-extent limit in cells (see _build_tiles).
     """
     est_points = np.asarray(est_points, np.float64)
     valid = np.asarray(valid, bool)
@@ -256,7 +270,7 @@ def build_cellwin_graph(
         _, ln = _window_spans(pt_starts, dims, cx, ylo, yhi, zlo, zhi)
         return ln.max(initial=0) <= span_limit
 
-    pt_tiles = _build_tiles(cc_pts, pt_cap, probe_pts)
+    pt_tiles = _build_tiles(cc_pts, pt_cap, probe_pts, z_max=z_max)
     t2 = len(pt_tiles)
     m_pad = t2 * pt_cap
 
@@ -304,7 +318,7 @@ def build_cellwin_graph(
         )
         return ln.max(initial=0) <= span_limit
 
-    row_tiles = _build_tiles(cc_rows, row_cap, probe_rows)
+    row_tiles = _build_tiles(cc_rows, row_cap, probe_rows, z_max=z_max)
     t1 = len(row_tiles)
     mq_pad = t1 * row_cap
 
@@ -472,17 +486,32 @@ def _span_iota(s, dtype=jnp.int32):
 
 
 def _fwd_kernel(ns: int, s_cap: int, r2: float):
-    """Forward moments kernel body factory (static NS, span cap, r2)."""
+    """Forward moments kernel body factory (static NS, span cap, r2).
+
+    MXU geometry: the moment accumulation runs as (16, S) @ (S, R) — the
+    16 feature rows STREAM through the systolic array (M is the streaming
+    dimension; K = S and N = R stay full), so nothing pads to 128. The
+    membership d2 is built on the VPU in difference form ((S, 1) vs
+    (1, R) broadcasts): an MXU cross-term would pad K=3 to 128 (43x
+    waste), and the difference form is also numerically tighter than the
+    norm expansion.
+    """
 
     def kernel(start_ref, len_ref, ctr_ref, c_ref, q_ref, out_ref,
                win_ref, sems):
         t = pl.program_id(0)
-        # Launch every span DMA up front; waits interleave with compute.
+        # Launch every non-empty span DMA up front; waits interleave with
+        # compute. Empty spans (clipped window columns on grid edges) skip
+        # both the start and the wait; their stale window content is
+        # zero-masked in compute.
         for s in range(ns):
-            st = start_ref[t * ns + s]
-            pltpu.make_async_copy(
-                c_ref.at[:, pl.ds(st, s_cap)], win_ref.at[s], sems.at[s]
-            ).start()
+            @pl.when(len_ref[t * ns + s] > 0)
+            def _(s=s):
+                pltpu.make_async_copy(
+                    c_ref.at[:, pl.ds(start_ref[t * ns + s], s_cap)],
+                    win_ref.at[s],
+                    sems.at[s],
+                ).start()
 
         q = q_ref[:]  # (8, R)
         dt = q.dtype
@@ -492,33 +521,36 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
         qx = q[0:1, :] - cx  # (1, R) shifted est query coords
         qy = q[1:2, :] - cy
         qz = q[2:3, :] - cz
-        qn = (qx * qx + qy * qy + qz * qz).T  # (R, 1)
-        qT = jnp.concatenate([qx, qy, qz], axis=0).T  # (R, 3)
 
         r_dim = q.shape[1]
-        acc = jnp.zeros((r_dim, 16), dt)
+        acc = jnp.zeros((16, r_dim), dt)
         for s in range(ns):
-            pltpu.make_async_copy(
-                c_ref.at[:, pl.ds(start_ref[t * ns + s], s_cap)],
-                win_ref.at[s],
-                sems.at[s],
-            ).wait()
-            w8 = win_ref[s]  # (8, S): cur(3), est(3), 0, 0
             ln = len_ref[t * ns + s]
-            ex = w8[3:4, :] - cx
-            ey = w8[4:5, :] - cy
-            ez = w8[5:6, :] - cz
-            xn = ex * ex + ey * ey + ez * ez  # (1, S)
-            e3 = jnp.concatenate([ex, ey, ez], axis=0)  # (3, S)
-            d2 = qn + xn - 2.0 * jnp.dot(
-                qT, e3, preferred_element_type=dt
-            )  # (R, S)
+
+            @pl.when(ln > 0)
+            def _(s=s):
+                pltpu.make_async_copy(
+                    c_ref.at[:, pl.ds(start_ref[t * ns + s], s_cap)],
+                    win_ref.at[s],
+                    sems.at[s],
+                ).wait()
+
+            w8 = win_ref[s]  # (8, S): cur(3), est(3), 0, 0
+            sl = (_span_iota(s_cap) < ln).reshape(s_cap, 1)  # (S, 1)
+            # (S, 1) shifted est window coords for the broadcast d2
+            ex = (w8[3:4, :] - cx).reshape(s_cap, 1)
+            ey = (w8[4:5, :] - cy).reshape(s_cap, 1)
+            ez = (w8[5:6, :] - cz).reshape(s_cap, 1)
+            dx = ex - qx  # (S, R)
+            dy = ey - qy
+            dz = ez - qz
+            d2 = dx * dx + dy * dy + dz * dz
             wm = jnp.where(
-                (d2 <= r2) & (_span_iota(s_cap) < ln),
+                (d2 <= r2) & sl,
                 jnp.asarray(1.0, dt),
                 jnp.asarray(0.0, dt),
-            )
-            x0 = w8[0:1, :] - cx  # shifted CURRENT coords
+            )  # (S, R)
+            x0 = w8[0:1, :] - cx  # (1, S) shifted CURRENT coords
             x1 = w8[1:2, :] - cy
             x2 = w8[2:3, :] - cz
             one = jnp.ones_like(x0)
@@ -529,24 +561,29 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
                  zero, zero, zero, zero, zero, zero],
                 axis=0,
             )  # (16, S)
-            acc = acc + jnp.dot(wm, feats.T, preferred_element_type=dt)
+            # Zero the feature columns past the span length: stale window
+            # content (skipped DMAs, previous tiles) can hold sentinels or
+            # uninitialized bits, and 0 * inf = NaN would poison acc even
+            # through a zero weight row.
+            feats = jnp.where(_span_iota(s_cap) < ln, feats, 0.0)
+            acc = acc + jnp.dot(feats, wm, preferred_element_type=dt)
 
-        s0 = acc[:, 0]
+        s0 = acc[0:1, :]  # (1, R)
         s0c = jnp.maximum(s0, 1e-12)
-        m0 = acc[:, 1] / s0c  # shifted mean components
-        m1 = acc[:, 2] / s0c
-        m2 = acc[:, 3] / s0c
+        m0 = acc[1:2, :] / s0c  # shifted mean components
+        m1 = acc[2:3, :] / s0c
+        m2 = acc[3:4, :] / s0c
         denom = jnp.maximum(s0 - 1.0, 1e-6)
-        c00 = (acc[:, 4] - s0 * m0 * m0) / denom
-        c11 = (acc[:, 5] - s0 * m1 * m1) / denom
-        c22 = (acc[:, 6] - s0 * m2 * m2) / denom
-        c01 = (acc[:, 7] - s0 * m0 * m1) / denom
-        c02 = (acc[:, 8] - s0 * m0 * m2) / denom
-        c12 = (acc[:, 9] - s0 * m1 * m2) / denom
+        c00 = (acc[4:5, :] - s0 * m0 * m0) / denom
+        c11 = (acc[5:6, :] - s0 * m1 * m1) / denom
+        c22 = (acc[6:7, :] - s0 * m2 * m2) / denom
+        c01 = (acc[7:8, :] - s0 * m0 * m1) / denom
+        c02 = (acc[8:9, :] - s0 * m0 * m2) / denom
+        c12 = (acc[9:10, :] - s0 * m1 * m2) / denom
         zero_r = jnp.zeros_like(s0)
-        out_ref[:] = jnp.stack(
+        out_ref[:] = jnp.concatenate(
             [m0 + cx, m1 + cy, m2 + cz,
-             c00, c11, c22, c01, c02, c12, s0c,
+             c00, c11, c22, c01, c02, c12, jnp.maximum(s0, 1e-12),
              zero_r, zero_r, zero_r, zero_r, zero_r, zero_r],
             axis=0,
         )
@@ -557,63 +594,71 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
 def _bwd_kernel(ns: int, sr_cap: int, r2: float):
     """Backward kernel body factory: per point tile, accumulate the
     referencing rows' analytic cotangent rows (S, u) through the same
-    membership test, then grad_j = S_j x_j + u_j."""
+    membership test, then grad_j = S_j x_j + u_j. Same geometry as the
+    forward: (16, SR) @ (SR, P) streaming matmul, VPU difference-form d2.
+    """
 
     def kernel(start_ref, len_ref, ctr_ref, rt_ref, c_ref, out_ref,
                win_ref, sems):
         t = pl.program_id(0)
         for s in range(ns):
-            st = start_ref[t * ns + s]
-            pltpu.make_async_copy(
-                rt_ref.at[:, pl.ds(st, sr_cap)], win_ref.at[s], sems.at[s]
-            ).start()
+            @pl.when(len_ref[t * ns + s] > 0)
+            def _(s=s):
+                pltpu.make_async_copy(
+                    rt_ref.at[:, pl.ds(start_ref[t * ns + s], sr_cap)],
+                    win_ref.at[s],
+                    sems.at[s],
+                ).start()
 
         x = c_ref[:]  # (8, P): cur(3), est(3)
         dt = x.dtype
         cx = ctr_ref[t * 3 + 0].astype(dt)
         cy = ctr_ref[t * 3 + 1].astype(dt)
         cz = ctr_ref[t * 3 + 2].astype(dt)
-        ex = x[3:4, :] - cx
+        ex = x[3:4, :] - cx  # (1, P) shifted est point coords
         ey = x[4:5, :] - cy
         ez = x[5:6, :] - cz
-        xn = (ex * ex + ey * ey + ez * ez).T  # (P, 1)
-        xT = jnp.concatenate([ex, ey, ez], axis=0).T  # (P, 3)
 
         p_dim = x.shape[1]
-        acc = jnp.zeros((p_dim, 16), dt)
+        acc = jnp.zeros((16, p_dim), dt)
         for s in range(ns):
-            pltpu.make_async_copy(
-                rt_ref.at[:, pl.ds(start_ref[t * ns + s], sr_cap)],
-                win_ref.at[s],
-                sems.at[s],
-            ).wait()
-            rt = win_ref[s]  # (16, SR): qest(3), s6(6), u(3), 0...
             ln = len_ref[t * ns + s]
-            qx = rt[0:1, :] - cx
-            qy = rt[1:2, :] - cy
-            qz = rt[2:3, :] - cz
-            qn = qx * qx + qy * qy + qz * qz  # (1, SR)
-            q3 = jnp.concatenate([qx, qy, qz], axis=0)  # (3, SR)
-            d2 = xn + qn - 2.0 * jnp.dot(
-                xT, q3, preferred_element_type=dt
-            )  # (P, SR)
+
+            @pl.when(ln > 0)
+            def _(s=s):
+                pltpu.make_async_copy(
+                    rt_ref.at[:, pl.ds(start_ref[t * ns + s], sr_cap)],
+                    win_ref.at[s],
+                    sems.at[s],
+                ).wait()
+
+            rt = win_ref[s]  # (16, SR): qest(3), s6(6), u(3), 0...
+            sl = (_span_iota(sr_cap) < ln).reshape(sr_cap, 1)  # (SR, 1)
+            qx = (rt[0:1, :] - cx).reshape(sr_cap, 1)
+            qy = (rt[1:2, :] - cy).reshape(sr_cap, 1)
+            qz = (rt[2:3, :] - cz).reshape(sr_cap, 1)
+            dx = qx - ex  # (SR, P)
+            dy = qy - ey
+            dz = qz - ez
+            d2 = dx * dx + dy * dy + dz * dz
             wm = jnp.where(
-                (d2 <= r2) & (_span_iota(sr_cap) < ln),
+                (d2 <= r2) & sl,
                 jnp.asarray(1.0, dt),
                 jnp.asarray(0.0, dt),
-            )
-            acc = acc + jnp.dot(wm, rt.T, preferred_element_type=dt)
+            )  # (SR, P)
+            rt_m = jnp.where(_span_iota(sr_cap) < ln, rt, 0.0)  # (16, SR)
+            acc = acc + jnp.dot(rt_m, wm, preferred_element_type=dt)
 
-        # acc columns follow RT rows: 0-2 (qest sums, unused), 3-8 = S
+        # acc rows follow RT rows: 0-2 (qest sums, unused), 3-8 = S
         # components (s00, s11, s22, s01, s02, s12), 9-11 = u.
-        x0 = x[0, :]  # CURRENT global coords
-        x1 = x[1, :]
-        x2 = x[2, :]
-        g0 = acc[:, 3] * x0 + acc[:, 6] * x1 + acc[:, 7] * x2 + acc[:, 9]
-        g1 = acc[:, 6] * x0 + acc[:, 4] * x1 + acc[:, 8] * x2 + acc[:, 10]
-        g2 = acc[:, 7] * x0 + acc[:, 8] * x1 + acc[:, 5] * x2 + acc[:, 11]
+        x0 = x[0:1, :]  # CURRENT global coords (1, P)
+        x1 = x[1:2, :]
+        x2 = x[2:3, :]
+        g0 = acc[3:4] * x0 + acc[6:7] * x1 + acc[7:8] * x2 + acc[9:10]
+        g1 = acc[6:7] * x0 + acc[4:5] * x1 + acc[8:9] * x2 + acc[10:11]
+        g2 = acc[7:8] * x0 + acc[8:9] * x1 + acc[5:6] * x2 + acc[11:12]
         zero_p = jnp.zeros_like(g0)
-        out_ref[:] = jnp.stack(
+        out_ref[:] = jnp.concatenate(
             [g0, g1, g2, zero_p, zero_p, zero_p, zero_p, zero_p], axis=0
         )
 

@@ -366,6 +366,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
                 np.asarray(qrows),
                 np.asarray(nn_c),
                 float(cfg.nn_r),
+                z_max=getattr(cfg, "cellwin_z_max", None),
             )
             if g is not None:
                 cw_dev = graph_to_device(g)

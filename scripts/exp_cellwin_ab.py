@@ -66,6 +66,8 @@ def main():
         cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
         cfg.lr = 2e-4
         cfg.moments_backend = backend
+        zm = os.environ.get("DC_CELLWIN_ZMAX")
+        cfg.cellwin_z_max = int(zm) if zm else None
         return cfg
 
     cache = os.environ.get("DC_CELLWIN_CACHE")
