@@ -498,7 +498,7 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
     """
 
     def kernel(start_ref, len_ref, ctr_ref, c_ref, q_ref, out_ref,
-               win_ref, sems):
+               win_ref, acc_ref, sems):
         t = pl.program_id(0)
         # Launch every non-empty span DMA up front; waits interleave with
         # compute. Empty spans (clipped window columns on grid edges) skip
@@ -522,52 +522,56 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
         qy = q[1:2, :] - cy
         qz = q[2:3, :] - cz
 
-        r_dim = q.shape[1]
-        acc = jnp.zeros((16, r_dim), dt)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
         for s in range(ns):
             ln = len_ref[t * ns + s]
 
+            # Empty spans (clipped window columns — on single-y tiles 6 of
+            # the NS=15 static slots) skip the DMA wait AND the dense
+            # d2/matmul entirely.
             @pl.when(ln > 0)
-            def _(s=s):
+            def _(s=s, ln=ln):
                 pltpu.make_async_copy(
                     c_ref.at[:, pl.ds(start_ref[t * ns + s], s_cap)],
                     win_ref.at[s],
                     sems.at[s],
                 ).wait()
+                w8 = win_ref[s]  # (8, S): cur(3), est(3), 0, 0
+                sl = (_span_iota(s_cap) < ln).reshape(s_cap, 1)  # (S, 1)
+                # (S, 1) shifted est window coords for the broadcast d2
+                ex = (w8[3:4, :] - cx).reshape(s_cap, 1)
+                ey = (w8[4:5, :] - cy).reshape(s_cap, 1)
+                ez = (w8[5:6, :] - cz).reshape(s_cap, 1)
+                dx = ex - qx  # (S, R)
+                dy = ey - qy
+                dz = ez - qz
+                d2 = dx * dx + dy * dy + dz * dz
+                wm = jnp.where(
+                    (d2 <= r2) & sl,
+                    jnp.asarray(1.0, dt),
+                    jnp.asarray(0.0, dt),
+                )  # (S, R)
+                x0 = w8[0:1, :] - cx  # (1, S) shifted CURRENT coords
+                x1 = w8[1:2, :] - cy
+                x2 = w8[2:3, :] - cz
+                one = jnp.ones_like(x0)
+                zero = jnp.zeros_like(x0)
+                feats = jnp.concatenate(
+                    [one, x0, x1, x2, x0 * x0, x1 * x1, x2 * x2,
+                     x0 * x1, x0 * x2, x1 * x2,
+                     zero, zero, zero, zero, zero, zero],
+                    axis=0,
+                )  # (16, S)
+                # Zero the feature columns past the span length: stale
+                # window content (skipped DMAs, previous tiles) can hold
+                # sentinels or uninitialized bits, and 0 * inf = NaN would
+                # poison acc even through a zero weight row.
+                feats = jnp.where(_span_iota(s_cap) < ln, feats, 0.0)
+                acc_ref[:] = acc_ref[:] + jnp.dot(
+                    feats, wm, preferred_element_type=dt
+                )
 
-            w8 = win_ref[s]  # (8, S): cur(3), est(3), 0, 0
-            sl = (_span_iota(s_cap) < ln).reshape(s_cap, 1)  # (S, 1)
-            # (S, 1) shifted est window coords for the broadcast d2
-            ex = (w8[3:4, :] - cx).reshape(s_cap, 1)
-            ey = (w8[4:5, :] - cy).reshape(s_cap, 1)
-            ez = (w8[5:6, :] - cz).reshape(s_cap, 1)
-            dx = ex - qx  # (S, R)
-            dy = ey - qy
-            dz = ez - qz
-            d2 = dx * dx + dy * dy + dz * dz
-            wm = jnp.where(
-                (d2 <= r2) & sl,
-                jnp.asarray(1.0, dt),
-                jnp.asarray(0.0, dt),
-            )  # (S, R)
-            x0 = w8[0:1, :] - cx  # (1, S) shifted CURRENT coords
-            x1 = w8[1:2, :] - cy
-            x2 = w8[2:3, :] - cz
-            one = jnp.ones_like(x0)
-            zero = jnp.zeros_like(x0)
-            feats = jnp.concatenate(
-                [one, x0, x1, x2, x0 * x0, x1 * x1, x2 * x2,
-                 x0 * x1, x0 * x2, x1 * x2,
-                 zero, zero, zero, zero, zero, zero],
-                axis=0,
-            )  # (16, S)
-            # Zero the feature columns past the span length: stale window
-            # content (skipped DMAs, previous tiles) can hold sentinels or
-            # uninitialized bits, and 0 * inf = NaN would poison acc even
-            # through a zero weight row.
-            feats = jnp.where(_span_iota(s_cap) < ln, feats, 0.0)
-            acc = acc + jnp.dot(feats, wm, preferred_element_type=dt)
-
+        acc = acc_ref[:]
         s0 = acc[0:1, :]  # (1, R)
         s0c = jnp.maximum(s0, 1e-12)
         m0 = acc[1:2, :] / s0c  # shifted mean components
@@ -599,7 +603,7 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
     """
 
     def kernel(start_ref, len_ref, ctr_ref, rt_ref, c_ref, out_ref,
-               win_ref, sems):
+               win_ref, acc_ref, sems):
         t = pl.program_id(0)
         for s in range(ns):
             @pl.when(len_ref[t * ns + s] > 0)
@@ -619,36 +623,39 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
         ey = x[4:5, :] - cy
         ez = x[5:6, :] - cz
 
-        p_dim = x.shape[1]
-        acc = jnp.zeros((16, p_dim), dt)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
         for s in range(ns):
             ln = len_ref[t * ns + s]
 
             @pl.when(ln > 0)
-            def _(s=s):
+            def _(s=s, ln=ln):
                 pltpu.make_async_copy(
                     rt_ref.at[:, pl.ds(start_ref[t * ns + s], sr_cap)],
                     win_ref.at[s],
                     sems.at[s],
                 ).wait()
+                rt = win_ref[s]  # (16, SR): qest(3), s6(6), u(3), 0...
+                sl = (_span_iota(sr_cap) < ln).reshape(sr_cap, 1)  # (SR, 1)
+                qx = (rt[0:1, :] - cx).reshape(sr_cap, 1)
+                qy = (rt[1:2, :] - cy).reshape(sr_cap, 1)
+                qz = (rt[2:3, :] - cz).reshape(sr_cap, 1)
+                dx = qx - ex  # (SR, P)
+                dy = qy - ey
+                dz = qz - ez
+                d2 = dx * dx + dy * dy + dz * dz
+                wm = jnp.where(
+                    (d2 <= r2) & sl,
+                    jnp.asarray(1.0, dt),
+                    jnp.asarray(0.0, dt),
+                )  # (SR, P)
+                rt_m = jnp.where(
+                    _span_iota(sr_cap) < ln, rt, 0.0
+                )  # (16, SR)
+                acc_ref[:] = acc_ref[:] + jnp.dot(
+                    rt_m, wm, preferred_element_type=dt
+                )
 
-            rt = win_ref[s]  # (16, SR): qest(3), s6(6), u(3), 0...
-            sl = (_span_iota(sr_cap) < ln).reshape(sr_cap, 1)  # (SR, 1)
-            qx = (rt[0:1, :] - cx).reshape(sr_cap, 1)
-            qy = (rt[1:2, :] - cy).reshape(sr_cap, 1)
-            qz = (rt[2:3, :] - cz).reshape(sr_cap, 1)
-            dx = qx - ex  # (SR, P)
-            dy = qy - ey
-            dz = qz - ez
-            d2 = dx * dx + dy * dy + dz * dz
-            wm = jnp.where(
-                (d2 <= r2) & sl,
-                jnp.asarray(1.0, dt),
-                jnp.asarray(0.0, dt),
-            )  # (SR, P)
-            rt_m = jnp.where(_span_iota(sr_cap) < ln, rt, 0.0)  # (16, SR)
-            acc = acc + jnp.dot(rt_m, wm, preferred_element_type=dt)
-
+        acc = acc_ref[:]
         # acc rows follow RT rows: 0-2 (qest sums, unused), 3-8 = S
         # components (s00, s11, s22, s01, s02, s12), 9-11 = u.
         x0 = x[0:1, :]  # CURRENT global coords (1, P)
@@ -692,6 +699,7 @@ def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_len, f_ctr,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NS, 8, s_cap), dt),
+            pltpu.VMEM((16, r_cap), dt),
             pltpu.SemaphoreType.DMA((NS,)),
         ],
     )
@@ -739,6 +747,7 @@ def _bwd_call(pts_sorted, q_est, est_sorted, table9, b_start, b_len, b_ctr,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NS, 16, sr_cap), dt),
+            pltpu.VMEM((16, p_cap), dt),
             pltpu.SemaphoreType.DMA((NS,)),
         ],
     )
