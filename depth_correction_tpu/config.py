@@ -189,6 +189,12 @@ class Config(Configurable):
         # work) at the cost of more tiles (more DMA issues) — a
         # per-workload tuning knob for the cell-window engine.
         self.cellwin_z_max = None
+        # cellwin tile capacities (rows per forward tile / points per
+        # backward tile; multiples of 128). Smaller tiles cut padding (and
+        # with it window span lengths on the padded axes) at the cost of
+        # more tiles/DMAs.
+        self.cellwin_row_cap = 256
+        self.cellwin_pt_cap = 256
         # Mutual-pair trimming when neighbor lists are truncated (kNN or
         # nn_max_neighbors): bounds the transpose in-degree by K, keeping the
         # analytic gradient's gather as cheap as the forward. No-op for
