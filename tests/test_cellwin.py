@@ -215,3 +215,33 @@ def test_cellwin_train_recovers_bias(tmp_path):
     m = load_model(cfg=best)
     w = float(np.asarray(m.w)[0])
     assert -0.0026 < w < -0.0012, w
+
+
+def test_cellwin_offset_and_multisequence_parity(tmp_path):
+    """loss_offset tables re-index into the padded row layout, and each
+    sequence carries its own graph — value+grad parity vs gather."""
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.train import make_loss_fn, prepare_sequences
+
+    vals = {}
+    grads = {}
+    for backend in ("gather", "cellwin"):
+        cfg = _tiny_cfg(tmp_path, backend)
+        cfg.train_names = ["ground_plane/4", "open_box/n_3_density_60"]
+        cfg.loss_offset = True
+        dss = [create_dataset(n, cfg) for n in cfg.train_names]
+        data = prepare_sequences(dss, cfg)
+        if backend == "cellwin":
+            assert all(c is not None for c in data.cellwin)
+        loss_fn = make_loss_fn(cfg)
+        params = {
+            "model": ScaledPolynomial(
+                w=jnp.asarray([-1e-3]), exponent=jnp.asarray([4.0])
+            )
+        }
+        val, g = jax.value_and_grad(lambda p: loss_fn(p, data))(params)
+        vals[backend] = float(val)
+        grads[backend] = float(np.asarray(g["model"].w)[0])
+    np.testing.assert_allclose(vals["cellwin"], vals["gather"], rtol=1e-9)
+    np.testing.assert_allclose(grads["cellwin"], grads["gather"], rtol=1e-6)
