@@ -38,8 +38,7 @@ scatter-free, like the bucketed-transpose backward it replaces.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -29,6 +29,10 @@ WARMUP = 3
 def main():
     import jax
 
+    # sitecustomize force-registers the axon TPU plugin; the env var alone
+    # does not stick — force the platform via config (CLAUDE.md).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.expanduser(
@@ -101,6 +105,10 @@ def main():
                     },
                     f,
                 )
+
+    if os.environ.get("DC_CELLWIN_PREP_ONLY"):
+        print("[ab] prep-only mode: workloads cached, exiting", file=sys.stderr)
+        return
 
     for backend in ("gather", "cellwin"):
         cfg = bench_cfg(backend)

@@ -79,6 +79,8 @@ def run_case(t1, r_cap, s_cap, label):
 def main():
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.expanduser(
