@@ -118,12 +118,27 @@ def build_workload():
     # Optional prep cache (DC_BENCH_CACHE=<path>) for fast iteration on the
     # measured step; the canonical driver run builds from scratch.
     cache = os.environ.get("DC_BENCH_CACHE")
+    want_sort = bool(int(os.environ.get("DC_SPATIAL_SORT", "0")))
+    want_backend = os.environ.get("DC_MOMENTS_BACKEND", "gather")
     if cache and os.path.exists(cache):
         with open(cache, "rb") as f:
             cfg, data_np, full_nn = pickle.load(f)
-        data = jax.tree_util.tree_map(jnp.asarray, data_np)
-        print("[bench] workload loaded from %s" % cache, file=sys.stderr)
-        return cfg, data, jnp.asarray(full_nn)
+        # The cached workload embeds the A/B knobs it was built with; a
+        # knob change must rebuild, not silently measure the stale layout.
+        if (bool(cfg.spatial_sort) != want_sort
+                or getattr(cfg, "moments_backend", "gather") != want_backend):
+            print(
+                "[bench] cache %s was built with spatial_sort=%s backend=%s"
+                " != requested (%s, %s); rebuilding"
+                % (cache, cfg.spatial_sort,
+                   getattr(cfg, "moments_backend", "gather"),
+                   want_sort, want_backend),
+                file=sys.stderr,
+            )
+        else:
+            data = jax.tree_util.tree_map(jnp.asarray, data_np)
+            print("[bench] workload loaded from %s" % cache, file=sys.stderr)
+            return cfg, data, jnp.asarray(full_nn)
 
     cfg = Config()
     cfg.nn_backend = "grid"

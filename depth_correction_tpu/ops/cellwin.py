@@ -240,6 +240,14 @@ def build_cellwin_graph(
     :param z_max: tile z-extent limit in cells (see _build_tiles).
     """
     est_points = np.asarray(est_points, np.float64)
+    # The kernels read establishment positions quantized to float32 at
+    # GLOBAL magnitude (q_est / est_sorted are f32 tables); the exactness
+    # audit below must therefore simulate membership on the same rounded
+    # values — the quantization error scales with |coordinate| (~|x| *
+    # 2^-24 * 2r on d2), which can exceed the eps band on large scenes,
+    # while the kernels' remaining f32 arithmetic error on tile-shifted
+    # (small) coordinates stays orders below eps.
+    est_f32 = est_points.astype(np.float32).astype(np.float64)
     valid = np.asarray(valid, bool)
     qrows = np.asarray(qrows, np.int64)
     nn = np.asarray(nn, np.int64)
@@ -395,9 +403,9 @@ def build_cellwin_graph(
         w_idx = np.concatenate(
             [np.arange(st[s], st[s] + ln[s]) for s in range(NS) if ln[s] > 0]
         ) if ln.max(initial=0) > 0 else np.zeros(0, np.int64)
-        q = est_points[rows_sorted[a:b]]  # (kk, 3) f64
+        q = est_f32[rows_sorted[a:b]]  # (kk, 3) f32-rounded, f64 math
         if w_idx.size:
-            x = est_points[perm[w_idx]]  # (W, 3) f64; sentinels excluded
+            x = est_f32[perm[w_idx]]  # (W, 3); sentinels excluded
             xv = perm_valid[w_idx]
             d2 = (
                 (q * q).sum(1)[:, None]
