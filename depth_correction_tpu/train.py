@@ -360,16 +360,25 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
         if use_cellwin:
             from .ops.cellwin import build_cellwin_graph, graph_to_device
 
-            g = build_cellwin_graph(
-                np.asarray(gcloud.get_points(), np.float64),
-                np.asarray(gcloud.valid),
-                np.asarray(qrows),
-                np.asarray(nn_c),
-                float(cfg.nn_r),
-                row_cap=int(getattr(cfg, "cellwin_row_cap", 256)),
-                pt_cap=int(getattr(cfg, "cellwin_pt_cap", 256)),
-                z_max=getattr(cfg, "cellwin_z_max", None),
-            )
+            g = None
+            # Escalate the span budget once before declining: very dense
+            # scenes (hundreds of points per cell) need wider windows, and
+            # 1024-slot spans still fit the kernels' VMEM comfortably
+            # (~2 MB live per (S, R) tile at R=256).
+            for span_limit in (512, 1024):
+                g = build_cellwin_graph(
+                    np.asarray(gcloud.get_points(), np.float64),
+                    np.asarray(gcloud.valid),
+                    np.asarray(qrows),
+                    np.asarray(nn_c),
+                    float(cfg.nn_r),
+                    row_cap=int(getattr(cfg, "cellwin_row_cap", 256)),
+                    pt_cap=int(getattr(cfg, "cellwin_pt_cap", 256)),
+                    span_limit=span_limit,
+                    z_max=getattr(cfg, "cellwin_z_max", None),
+                )
+                if g is not None:
+                    break
             if g is not None:
                 cw_dev = graph_to_device(g)
                 import sys as _sys

@@ -245,3 +245,16 @@ def test_cellwin_offset_and_multisequence_parity(tmp_path):
         grads[backend] = float(np.asarray(g["model"].w)[0])
     np.testing.assert_allclose(vals["cellwin"], vals["gather"], rtol=1e-9)
     np.testing.assert_allclose(grads["cellwin"], grads["gather"], rtol=1e-6)
+
+
+def test_cellwin_build_declines_gracefully():
+    """Span budgets the windows cannot meet return None (the caller falls
+    back to the gather engine)."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (500, 3))
+    nn = _uncapped_graph(pts, 0.4)
+    g = build_cellwin_graph(
+        pts, np.ones(500, bool), np.arange(500), nn, 0.4,
+        row_cap=32, pt_cap=32, span_limit=8,
+    )
+    assert g is None
