@@ -65,6 +65,9 @@ def main(argv=None):
     cfg.loss_kwargs = {"sqrt": False, "normalization": True}
     cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
     cfg.lr = 2e-4
+    # A/B knob: DC_MOMENTS_BACKEND=cellwin runs the cell-window engine
+    # (uncapped reference-exact neighborhoods; nn_max_neighbors ignored).
+    cfg.moments_backend = os.environ.get("DC_MOMENTS_BACKEND", "gather")
 
     ds = create_dataset(cfg.train_names[0], cfg)
     data = prepare_sequences([ds], cfg)
