@@ -213,8 +213,8 @@ def build_cellwin_graph(
     qrows: np.ndarray,
     nn: np.ndarray,
     r: float,
-    row_cap: int = 256,
-    pt_cap: int = 256,
+    row_cap: int = 128,
+    pt_cap: int = 128,
     span_limit: int = 512,
     eps_rel: float = 2e-5,
     max_exc_frac: float = 0.05,

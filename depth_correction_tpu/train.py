@@ -372,8 +372,8 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
                     np.asarray(qrows),
                     np.asarray(nn_c),
                     float(cfg.nn_r),
-                    row_cap=int(getattr(cfg, "cellwin_row_cap", 256)),
-                    pt_cap=int(getattr(cfg, "cellwin_pt_cap", 256)),
+                    row_cap=int(getattr(cfg, "cellwin_row_cap", 128)),
+                    pt_cap=int(getattr(cfg, "cellwin_pt_cap", 128)),
                     span_limit=span_limit,
                     z_max=getattr(cfg, "cellwin_z_max", None),
                 )

@@ -72,8 +72,8 @@ def main():
         cfg.moments_backend = backend
         zm = os.environ.get("DC_CELLWIN_ZMAX")
         cfg.cellwin_z_max = int(zm) if zm else None
-        cfg.cellwin_row_cap = int(os.environ.get("DC_CELLWIN_ROWCAP", "256"))
-        cfg.cellwin_pt_cap = int(os.environ.get("DC_CELLWIN_PTCAP", "256"))
+        cfg.cellwin_row_cap = int(os.environ.get("DC_CELLWIN_ROWCAP", "128"))
+        cfg.cellwin_pt_cap = int(os.environ.get("DC_CELLWIN_PTCAP", "128"))
         return cfg
 
     cache = os.environ.get("DC_CELLWIN_CACHE")
