@@ -529,7 +529,7 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
         qy = q[1:2, :] - cy
         qz = q[2:3, :] - cz
 
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
         for s in range(ns):
             ln = len_ref[t * ns + s]
 
@@ -630,7 +630,7 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
         ey = x[4:5, :] - cy
         ez = x[5:6, :] - cz
 
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
         for s in range(ns):
             ln = len_ref[t * ns + s]
 
