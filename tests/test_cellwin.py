@@ -258,3 +258,28 @@ def test_cellwin_build_declines_gracefully():
         row_cap=32, pt_cap=32, span_limit=8,
     )
     assert g is None
+
+
+def test_cellwin_checkpoint_resume_bitexact(tmp_path):
+    """A resumed cellwin run reproduces the uninterrupted trajectory (the
+    graph rebuild at resume is deterministic)."""
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.models import load_model
+    from depth_correction_tpu.train import train
+
+    def cfgf(log_dir, iters):
+        cfg = _tiny_cfg(tmp_path, "cellwin")
+        cfg.log_dir = str(log_dir)
+        cfg.loss_kwargs = {"sqrt": False, "normalization": False}
+        cfg.lr = 2e-4
+        cfg.n_opt_iters = iters
+        cfg.checkpoint_period = 5
+        return cfg
+
+    best_a = train(cfgf(tmp_path / "a", 12))
+    w_a = np.asarray(load_model(cfg=best_a).w)
+
+    train(cfgf(tmp_path / "b", 7))
+    best_b = train(cfgf(tmp_path / "b", 12))
+    w_b = np.asarray(load_model(cfg=best_b).w)
+    np.testing.assert_allclose(w_b, w_a, rtol=1e-12)
