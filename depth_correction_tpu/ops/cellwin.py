@@ -363,10 +363,11 @@ def build_cellwin_graph(
     )
     q_est[:3, ~sel] = -1e15
 
-    # Lane-aligned span caps: the kernels' window tiles and DMAs then sit
-    # on (8, 128k) boundaries (TPU pads the minor dim to 128 lanes anyway;
-    # the extra DMA bytes are cheap next to unaligned vector ops).
-    span_cap = int(max(f_span_len.max(initial=1), 1))
+    # Lane-aligned span caps. Mosaic requires the DMA's dynamic lane-dim
+    # source offset to be 128-divisible (probed on v5e), so the kernels DMA
+    # from ``start - start % 128`` and mask off the lead slots; the cap must
+    # therefore hold lead + length.
+    span_cap = int(max((f_span_start % 128 + f_span_len).max(initial=1), 1))
     span_cap = -(-span_cap // 128) * 128
 
     # ---- backward span tables: point tiles windowed over padded rows ----
@@ -383,9 +384,9 @@ def build_cellwin_graph(
         b_tile_ctr[t] = mins + cell * np.array(
             [cx + 0.5, (ylo + yhi + 1) * 0.5, (zlo + zhi + 1) * 0.5]
         )
-    rspan_cap = int(max(b_span_len.max(initial=1), 1))
+    rspan_cap = int(max((b_span_start % 128 + b_span_len).max(initial=1), 1))
     rspan_cap = -(-rspan_cap // 128) * 128
-    if rspan_cap > 2 * span_limit + 128:
+    if rspan_cap > 2 * span_limit + 256:
         return None
 
     # ---- exactness audit: simulate the kernel membership in f64 ----
@@ -492,6 +493,14 @@ def _span_iota(s, dtype=jnp.int32):
     return jax.lax.broadcasted_iota(dtype, (1, s), 1)
 
 
+def _span_iota_col(s, dtype=jnp.int32):
+    """(S, 1) column iota. Mosaic lowers a column-form broadcasted_iota but
+    NOT a boolean (1, S) -> (S, 1) reshape (probed on v5e,
+    scripts/exp_mosaic_probe.py) — so column masks must be built in column
+    form from the start."""
+    return jax.lax.broadcasted_iota(dtype, (s, 1), 0)
+
+
 def _fwd_kernel(ns: int, s_cap: int, r2: float):
     """Forward moments kernel body factory (static NS, span cap, r2).
 
@@ -504,18 +513,24 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
     norm expansion.
     """
 
-    def kernel(start_ref, len_ref, ctr_ref, c_ref, q_ref, out_ref,
+    def kernel(start_ref, lead_ref, len_ref, ctr_ref, c_ref, q_ref, out_ref,
                win_ref, acc_ref, sems):
         t = pl.program_id(0)
         # Launch every non-empty span DMA up front; waits interleave with
         # compute. Empty spans (clipped window columns on grid edges) skip
         # both the start and the wait; their stale window content is
-        # zero-masked in compute.
+        # zero-masked in compute. Source offsets are pre-aligned to 128
+        # lanes (graph_to_device); the true span occupies
+        # [lead, lead + len) of the window buffer.
         for s in range(ns):
             @pl.when(len_ref[t * ns + s] > 0)
             def _(s=s):
                 pltpu.make_async_copy(
-                    c_ref.at[:, pl.ds(start_ref[t * ns + s], s_cap)],
+                    c_ref.at[
+                        :,
+                        pl.ds(pl.multiple_of(start_ref[t * ns + s], 128),
+                              s_cap),
+                    ],
                     win_ref.at[s],
                     sems.at[s],
                 ).start()
@@ -532,19 +547,25 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
         acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
         for s in range(ns):
             ln = len_ref[t * ns + s]
+            lead = lead_ref[t * ns + s]
 
             # Empty spans (clipped window columns — on single-y tiles 6 of
             # the NS=15 static slots) skip the DMA wait AND the dense
             # d2/matmul entirely.
             @pl.when(ln > 0)
-            def _(s=s, ln=ln):
+            def _(s=s, ln=ln, lead=lead):
                 pltpu.make_async_copy(
-                    c_ref.at[:, pl.ds(start_ref[t * ns + s], s_cap)],
+                    c_ref.at[
+                        :,
+                        pl.ds(pl.multiple_of(start_ref[t * ns + s], 128),
+                              s_cap),
+                    ],
                     win_ref.at[s],
                     sems.at[s],
                 ).wait()
                 w8 = win_ref[s]  # (8, S): cur(3), est(3), 0, 0
-                sl = (_span_iota(s_cap) < ln).reshape(s_cap, 1)  # (S, 1)
+                col = _span_iota_col(s_cap)
+                sl = (col >= lead) & (col < lead + ln)  # (S, 1)
                 # (S, 1) shifted est window coords for the broadcast d2
                 ex = (w8[3:4, :] - cx).reshape(s_cap, 1)
                 ey = (w8[4:5, :] - cy).reshape(s_cap, 1)
@@ -569,11 +590,13 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
                      zero, zero, zero, zero, zero, zero],
                     axis=0,
                 )  # (16, S)
-                # Zero the feature columns past the span length: stale
-                # window content (skipped DMAs, previous tiles) can hold
-                # sentinels or uninitialized bits, and 0 * inf = NaN would
-                # poison acc even through a zero weight row.
-                feats = jnp.where(_span_iota(s_cap) < ln, feats, 0.0)
+                # Zero the feature columns outside [lead, lead + len): stale
+                # window content (skipped DMAs, previous tiles, lead slots)
+                # can hold sentinels or uninitialized bits, and 0 * inf =
+                # NaN would poison acc even through a zero weight row.
+                row = _span_iota(s_cap)
+                feats = jnp.where((row >= lead) & (row < lead + ln),
+                                  feats, 0.0)
                 acc_ref[:] = acc_ref[:] + jnp.dot(
                     feats, wm, preferred_element_type=dt
                 )
@@ -609,14 +632,18 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
     forward: (16, SR) @ (SR, P) streaming matmul, VPU difference-form d2.
     """
 
-    def kernel(start_ref, len_ref, ctr_ref, rt_ref, c_ref, out_ref,
+    def kernel(start_ref, lead_ref, len_ref, ctr_ref, rt_ref, c_ref, out_ref,
                win_ref, acc_ref, sems):
         t = pl.program_id(0)
         for s in range(ns):
             @pl.when(len_ref[t * ns + s] > 0)
             def _(s=s):
                 pltpu.make_async_copy(
-                    rt_ref.at[:, pl.ds(start_ref[t * ns + s], sr_cap)],
+                    rt_ref.at[
+                        :,
+                        pl.ds(pl.multiple_of(start_ref[t * ns + s], 128),
+                              sr_cap),
+                    ],
                     win_ref.at[s],
                     sems.at[s],
                 ).start()
@@ -633,16 +660,22 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
         acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
         for s in range(ns):
             ln = len_ref[t * ns + s]
+            lead = lead_ref[t * ns + s]
 
             @pl.when(ln > 0)
-            def _(s=s, ln=ln):
+            def _(s=s, ln=ln, lead=lead):
                 pltpu.make_async_copy(
-                    rt_ref.at[:, pl.ds(start_ref[t * ns + s], sr_cap)],
+                    rt_ref.at[
+                        :,
+                        pl.ds(pl.multiple_of(start_ref[t * ns + s], 128),
+                              sr_cap),
+                    ],
                     win_ref.at[s],
                     sems.at[s],
                 ).wait()
                 rt = win_ref[s]  # (16, SR): qest(3), s6(6), u(3), 0...
-                sl = (_span_iota(sr_cap) < ln).reshape(sr_cap, 1)  # (SR, 1)
+                col = _span_iota_col(sr_cap)
+                sl = (col >= lead) & (col < lead + ln)  # (SR, 1)
                 qx = (rt[0:1, :] - cx).reshape(sr_cap, 1)
                 qy = (rt[1:2, :] - cy).reshape(sr_cap, 1)
                 qz = (rt[2:3, :] - cz).reshape(sr_cap, 1)
@@ -655,8 +688,9 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
                     jnp.asarray(1.0, dt),
                     jnp.asarray(0.0, dt),
                 )  # (SR, P)
+                row = _span_iota(sr_cap)
                 rt_m = jnp.where(
-                    _span_iota(sr_cap) < ln, rt, 0.0
+                    (row >= lead) & (row < lead + ln), rt, 0.0
                 )  # (16, SR)
                 acc_ref[:] = acc_ref[:] + jnp.dot(
                     rt_m, wm, preferred_element_type=dt
@@ -679,7 +713,7 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
     return kernel
 
 
-def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_len, f_ctr,
+def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len, f_ctr,
               *, t1, r_cap, s_cap, r2):
     """Run the forward kernel: returns the raw (16, mq_pad) output."""
     m_pad = pts_sorted.shape[0]
@@ -695,7 +729,7 @@ def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_len, f_ctr,
     )  # (8, m_pad + S)
     mq_pad = q_est.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -715,12 +749,12 @@ def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_len, f_ctr,
         out_shape=jax.ShapeDtypeStruct((16, mq_pad), dt),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(f_start.reshape(-1), f_len.reshape(-1), f_ctr.reshape(-1),
-      c_tab, q_est.astype(dt))
+    )(f_start.reshape(-1), f_lead.reshape(-1), f_len.reshape(-1),
+      f_ctr.reshape(-1), c_tab, q_est.astype(dt))
 
 
-def _bwd_call(pts_sorted, q_est, est_sorted, table9, b_start, b_len, b_ctr,
-              *, t2, p_cap, sr_cap, r2):
+def _bwd_call(pts_sorted, q_est, est_sorted, table9, b_start, b_lead, b_len,
+              b_ctr, *, t2, p_cap, sr_cap, r2):
     """Run the backward kernel: (m_pad, 3) gradient wrt current points."""
     m_pad = pts_sorted.shape[0]
     dt = pts_sorted.dtype
@@ -743,7 +777,7 @@ def _bwd_call(pts_sorted, q_est, est_sorted, table9, b_start, b_len, b_ctr,
         axis=0,
     )  # (8, m_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t2,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -763,36 +797,36 @@ def _bwd_call(pts_sorted, q_est, est_sorted, table9, b_start, b_len, b_ctr,
         out_shape=jax.ShapeDtypeStruct((8, m_pad), dt),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(b_start.reshape(-1), b_len.reshape(-1), b_ctr.reshape(-1),
-      rt, c_blocks)
+    )(b_start.reshape(-1), b_lead.reshape(-1), b_len.reshape(-1),
+      b_ctr.reshape(-1), rt, c_blocks)
     return out[:3].T  # (m_pad, 3)
 
 
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(9,))
-def _cellwin_core(pts_sorted, q_est, est_sorted, f_start, f_len, f_ctr,
-                  b_start, b_len, b_ctr, dims):
+@_partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _cellwin_core(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len,
+                  f_ctr, b_start, b_lead, b_len, b_ctr, dims):
     """(mean (3, mq_pad), comps 6-tuple, w_sum) over the padded row tiles.
 
     ``dims`` is the static (t1, r_cap, s_cap, t2, p_cap, sr_cap, r2) tuple.
     """
     t1, r_cap, s_cap, t2, p_cap, sr_cap, r2 = dims
-    raw = _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_len, f_ctr,
-                    t1=t1, r_cap=r_cap, s_cap=s_cap, r2=r2)
+    raw = _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len,
+                    f_ctr, t1=t1, r_cap=r_cap, s_cap=s_cap, r2=r2)
     mean = raw[0:3]
     comps = (raw[3], raw[4], raw[5], raw[6], raw[7], raw[8])
     return mean, comps, raw[9]
 
 
-def _cellwin_core_fwd(pts_sorted, q_est, est_sorted, f_start, f_len, f_ctr,
-                      b_start, b_len, b_ctr, dims):
-    out = _cellwin_core(pts_sorted, q_est, est_sorted, f_start, f_len,
-                        f_ctr, b_start, b_len, b_ctr, dims)
+def _cellwin_core_fwd(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len,
+                      f_ctr, b_start, b_lead, b_len, b_ctr, dims):
+    out = _cellwin_core(pts_sorted, q_est, est_sorted, f_start, f_lead,
+                        f_len, f_ctr, b_start, b_lead, b_len, b_ctr, dims)
     mean, _comps, w_sum = out
     res = (pts_sorted, q_est, est_sorted, mean, w_sum,
-           b_start, b_len, b_ctr)
+           b_start, b_lead, b_len, b_ctr)
     return out, res
 
 
@@ -801,13 +835,14 @@ def _cellwin_core_bwd(dims, res, cot):
 
     t1, r_cap, s_cap, t2, p_cap, sr_cap, r2 = dims
     (pts_sorted, q_est, est_sorted, mean, w_sum,
-     b_start, b_len, b_ctr) = res
+     b_start, b_lead, b_len, b_ctr) = res
     g_mean, g_comps, _g_wsum = cot
     table9 = _cotangent_table(mean, w_sum, (g_mean, g_comps))
     grad = _bwd_call(pts_sorted, q_est, est_sorted, table9,
-                     b_start, b_len, b_ctr,
+                     b_start, b_lead, b_len, b_ctr,
                      t2=t2, p_cap=p_cap, sr_cap=sr_cap, r2=r2)
-    return (grad, None, None, None, None, None, None, None, None)
+    return (grad, None, None, None, None, None, None, None, None, None,
+            None)
 
 
 _cellwin_core.defvjp(_cellwin_core_fwd, _cellwin_core_bwd)
@@ -831,10 +866,12 @@ class CellWinDevice:
 
     q_est: object
     est_sorted: object
-    f_start: object
+    f_start: object  # 128-aligned span starts (see f_lead)
+    f_lead: object  # start % 128 — true span occupies [lead, lead + len)
     f_len: object
     f_ctr: object
     b_start: object
+    b_lead: object
     b_len: object
     b_ctr: object
     perm: object
@@ -851,8 +888,8 @@ class CellWinDevice:
 jax.tree_util.register_dataclass(
     CellWinDevice,
     data_fields=[
-        "q_est", "est_sorted", "f_start", "f_len", "f_ctr",
-        "b_start", "b_len", "b_ctr", "perm", "inv", "row_map",
+        "q_est", "est_sorted", "f_start", "f_lead", "f_len", "f_ctr",
+        "b_start", "b_lead", "b_len", "b_ctr", "perm", "inv", "row_map",
         "exc_slots", "exc_nn", "exc_w", "exc_tg",
     ],
     meta_fields=["dims", "n_exc"],
@@ -875,13 +912,20 @@ def graph_to_device(g: CellWinGraph) -> CellWinDevice:
         exc_w = jnp.asarray(exc_w_np)
         exc_nn = jnp.asarray(g.exc_nn)
         exc_slots = jnp.asarray(g.exc_slots)
+    # Span starts are 128-aligned here (Mosaic requires provably aligned
+    # dynamic lane-dim DMA offsets); the kernels mask off the lead slots.
+    # The graph keeps RAW starts so the build-time audit stays layout-free.
+    f_lead = g.f_span_start % 128
+    b_lead = g.b_span_start % 128
     return CellWinDevice(
         q_est=jnp.asarray(g.q_est),
         est_sorted=jnp.asarray(g.est_sorted),
-        f_start=jnp.asarray(g.f_span_start),
+        f_start=jnp.asarray(g.f_span_start - f_lead),
+        f_lead=jnp.asarray(f_lead),
         f_len=jnp.asarray(g.f_span_len),
         f_ctr=jnp.asarray(g.f_tile_ctr),
-        b_start=jnp.asarray(g.b_span_start),
+        b_start=jnp.asarray(g.b_span_start - b_lead),
+        b_lead=jnp.asarray(b_lead),
         b_len=jnp.asarray(g.b_span_len),
         b_ctr=jnp.asarray(g.b_tile_ctr),
         perm=jnp.asarray(g.perm),
@@ -910,8 +954,9 @@ def cellwin_moments(pts_sorted, dev: CellWinDevice):
     them never reach the loss.
     """
     mean, comps, _w_sum = _cellwin_core(
-        pts_sorted, dev.q_est, dev.est_sorted, dev.f_start, dev.f_len,
-        dev.f_ctr, dev.b_start, dev.b_len, dev.b_ctr, dev.dims,
+        pts_sorted, dev.q_est, dev.est_sorted, dev.f_start, dev.f_lead,
+        dev.f_len, dev.f_ctr, dev.b_start, dev.b_lead, dev.b_len,
+        dev.b_ctr, dev.dims,
     )
     if dev.n_exc:
         from .features import neighborhood_moments_bucketed

@@ -199,28 +199,27 @@ def build_bucketed_transpose(
     # width index for each point with deg > 0
     width_of = np.searchsorted(widths_arr, np.maximum(deg, 1))
 
-    rows_parts = []
     idx_parts = []
     w_parts = []
     offset = 0
     pos_in_concat = np.full(m, -1, np.int64)
     for b, ktb in enumerate(widths):
-        rows_b = np.flatnonzero((width_of == b) & (deg > 0))
-        if len(rows_b) == 0:
-            continue
-        mb = len(rows_b)
-        pos_in_bucket = np.full(m, -1, np.int64)
-        pos_in_bucket[rows_b] = np.arange(mb)
-        sel = pos_in_bucket[j] >= 0
-        t_idx_b = np.full((mb, ktb), -1, np.int32)
-        t_w_b = np.zeros((mb, ktb), w_pairs.dtype)
-        t_idx_b[pos_in_bucket[j[sel]], within[sel]] = i[sel].astype(np.int32)
-        t_w_b[pos_in_bucket[j[sel]], within[sel]] = w_pairs[sel]
-        rows_parts.append(rows_b)
-        idx_parts.append(jnp.asarray(t_idx_b))
-        w_parts.append(jnp.asarray(t_w_b))
-        pos_in_concat[rows_b] = offset + np.arange(mb)
-        offset += mb
+        rows_all = np.flatnonzero((width_of == b) & (deg > 0))
+        for rows_b in _bucket_row_parts(rows_all, ktb):
+            if len(rows_b) == 0:
+                continue
+            mb = len(rows_b)
+            pos_in_bucket = np.full(m, -1, np.int64)
+            pos_in_bucket[rows_b] = np.arange(mb)
+            sel = pos_in_bucket[j] >= 0
+            t_idx_b = np.full((mb, ktb), -1, np.int32)
+            t_w_b = np.zeros((mb, ktb), w_pairs.dtype)
+            t_idx_b[pos_in_bucket[j[sel]], within[sel]] = i[sel].astype(np.int32)
+            t_w_b[pos_in_bucket[j[sel]], within[sel]] = w_pairs[sel]
+            idx_parts.append(jnp.asarray(t_idx_b))
+            w_parts.append(jnp.asarray(t_w_b))
+            pos_in_concat[rows_b] = offset + np.arange(mb)
+            offset += mb
 
     mr = offset
     inv = np.where(pos_in_concat >= 0, pos_in_concat, mr).astype(np.int32)
@@ -240,14 +239,35 @@ def build_bucketed_transpose(
 
 def _pair_widths(max_deg: int, min_width: int = 8):
     """The bucket-width ladder shared by host and device builders: steps of
-    8 up to 64, then doubling (bounds padding ~1.15x on radius graphs)."""
+    8 up to 64, then 16 up to 128, then doubling (the 64->128 gap holds most
+    points of an uncapped radius graph — mean degree ~123 on the bench
+    workload — and a straight doubling there cost 1.6x pair padding)."""
     widths = []
     wd = min_width
     while wd < max_deg:
         widths.append(wd)
-        wd = wd + 8 if wd < 64 else wd * 2
+        wd = wd + 8 if wd < 64 else (wd + 16 if wd < 128 else wd * 2)
     widths.append(max(wd, min_width))
     return widths
+
+
+# Buckets larger than this many PADDED pairs are split into same-width parts.
+# XLA materializes a big bucket's backward gather in its natural
+# (pairs, 9) index-major order with the 9-wide minor dim lane-padded to 128
+# (observed on v5e: one 45M-pair bucket became a 23 GB buffer and OOMed the
+# chip); parts at the few-M-pair scale fuse like the capped-graph buckets
+# that measured at the gather bound.
+_BUCKET_PAIRS_MAX = 2_000_000
+
+
+def _bucket_row_parts(rows_b, ktb):
+    """Split one bucket's rows into parts of at most _BUCKET_PAIRS_MAX
+    padded pairs (shared by the host and device builders so their outputs
+    stay identical)."""
+    import numpy as np
+
+    max_rows = max(_BUCKET_PAIRS_MAX // int(ktb), 1)
+    return [rows_b[i : i + max_rows] for i in range(0, len(rows_b), max_rows)]
 
 
 from functools import partial as _partial
@@ -339,17 +359,18 @@ def build_bucketed_transpose_device(
     offset = 0
     pos_in_concat = np.full(m, -1, np.int64)
     for b, ktb in enumerate(widths):
-        rows_b = np.flatnonzero((width_of == b) & (deg_np > 0))
-        if len(rows_b) == 0:
-            continue
-        cols = jnp.arange(ktb, dtype=jnp.int32)
-        t_idx_b, t_w_b = _fill_rows_device(
-            jnp.asarray(rows_b, jnp.int32), start, deg, i_s, w_s, cols
-        )
-        idx_parts.append(t_idx_b)
-        w_parts.append(t_w_b)
-        pos_in_concat[rows_b] = offset + np.arange(len(rows_b))
-        offset += len(rows_b)
+        rows_all = np.flatnonzero((width_of == b) & (deg_np > 0))
+        for rows_b in _bucket_row_parts(rows_all, ktb):
+            if len(rows_b) == 0:
+                continue
+            cols = jnp.arange(ktb, dtype=jnp.int32)
+            t_idx_b, t_w_b = _fill_rows_device(
+                jnp.asarray(rows_b, jnp.int32), start, deg, i_s, w_s, cols
+            )
+            idx_parts.append(t_idx_b)
+            w_parts.append(t_w_b)
+            pos_in_concat[rows_b] = offset + np.arange(len(rows_b))
+            offset += len(rows_b)
 
     inv = np.where(pos_in_concat >= 0, pos_in_concat, offset).astype(np.int32)
     return BucketedTranspose(idx=tuple(idx_parts), w=tuple(w_parts),
@@ -447,14 +468,46 @@ def _gather_T_bwd(res, g):
 _gather_T.defvjp(_gather_T_fwd, _gather_T_bwd)
 
 
+# Row-chunk the forward moments past this many (Mq * K) pairs: XLA fuses
+# the capped bench graph (7.2M pairs) at the gather bound, but on much
+# larger graphs it can materialize the gather in natural index-major order
+# — (pairs, 3) with the 3-wide minor dim lane-padded to 128 (the same v5e
+# failure mode as the bucketed backward, see _BUCKET_PAIRS_MAX).
+_FWD_PAIRS_MAX = 16_000_000
+
+
 def _moments_impl(points, neighbors, weights):
-    """Weighted neighborhood moments in (C, K, M) layout.
+    """Weighted neighborhood moments (row-chunked when very large).
+
+    :return: (mean (3, Mq), comps 6-tuple of (Mq,), w_sum (Mq,)).
+    """
+    mq, k = neighbors.shape
+    if mq * k <= _FWD_PAIRS_MAX:
+        return _moments_impl_block(points, neighbors, weights)
+    chunk = max(((_FWD_PAIRS_MAX // k) // 512) * 512, 512)
+    pad = (-mq) % chunk
+    nb = jnp.pad(neighbors, ((0, pad), (0, 0)), constant_values=-1)
+    w = jnp.pad(weights, ((0, pad), (0, 0)))
+    n = nb.shape[0] // chunk
+
+    def body(args):
+        nb_c, w_c = args
+        return _moments_impl_block(points, nb_c, w_c)
+
+    mean, comps, w_sum = jax.lax.map(
+        body, (nb.reshape(n, chunk, k), w.reshape(n, chunk, k))
+    )
+    mean = jnp.moveaxis(mean, 1, 0).reshape(3, -1)[:, :mq]
+    comps = tuple(c.reshape(-1)[:mq] for c in comps)
+    return mean, comps, w_sum.reshape(-1)[:mq]
+
+
+def _moments_impl_block(points, neighbors, weights):
+    """One row block of weighted neighborhood moments in (C, K, M) layout.
 
     The neighbor axis K sits second-to-last and the batch M last, so none of
     the big intermediates carries a narrow trailing dim (TPU pads the minor
     dim to 128 lanes — a trailing K=32 costs 4x, a trailing 3x3 costs 42x).
-
-    :return: (mean (3, Mq), comps 6-tuple of (Mq,), w_sum (Mq,)).
     """
     idxT = jnp.maximum(neighbors, 0).T  # (K, Mq)
     # Plain f32 take with the (K, Mq) index layout. A u16-packed gather

@@ -81,11 +81,87 @@ def main():
     if cache and os.path.exists(cache):
         with open(cache, "rb") as f:
             datas_np = pickle.load(f)
+        if os.environ.get("DC_REBUILD_CELLWIN") and "cellwin" in datas_np:
+            # Drop the stale device graph BEFORE the pytree walk: graphs
+            # pickled by an older builder may lack fields the registered
+            # dataclass now declares.
+            import dataclasses as _dc
+
+            datas_np["cellwin"] = _dc.replace(
+                datas_np["cellwin"], cellwin=(None,)
+            )
         datas = {
             k: jax.tree_util.tree_map(jnp.asarray, v)
             for k, v in datas_np.items()
         }
         print("[ab] workloads loaded from %s" % cache, file=sys.stderr)
+        if os.environ.get("DC_REBUILD_CELLWIN"):
+            # Kernel-layout changes (e.g. the 128-aligned span starts)
+            # invalidate cached CellWinDevice graphs; rebuild from the
+            # cached establishment (the expensive part is reused).
+            import dataclasses as _dc
+
+            from depth_correction_tpu.ops.cellwin import (
+                build_cellwin_graph, graph_to_device,
+            )
+            from depth_correction_tpu.preproc import global_cloud
+
+            d = datas.get("cellwin")
+            if d is not None:
+                t0 = time.perf_counter()
+                cfgc = bench_cfg("cellwin")
+                gcloud = global_cloud(d.batches[0])
+                g = None
+                for span_limit in (512, 1024):
+                    g = build_cellwin_graph(
+                        np.asarray(gcloud.get_points(), np.float64),
+                        np.asarray(gcloud.valid),
+                        np.asarray(d.query_rows[0]),
+                        np.asarray(d.neighbors[0]),
+                        float(cfgc.nn_r),
+                        row_cap=cfgc.cellwin_row_cap,
+                        pt_cap=cfgc.cellwin_pt_cap,
+                        span_limit=span_limit,
+                        z_max=cfgc.cellwin_z_max,
+                    )
+                    if g is not None:
+                        break
+                assert g is not None, "cellwin rebuild declined"
+                datas["cellwin"] = _dc.replace(
+                    d, cellwin=(graph_to_device(g),)
+                )
+                print(
+                    "[ab] cellwin graph rebuilt: %d tiles x %d (span %d/%d),"
+                    " %d exc, %.0f s"
+                    % (g.n_row_tiles, g.row_cap, g.span_cap, g.rspan_cap,
+                       g.n_exc, time.perf_counter() - t0),
+                    file=sys.stderr,
+                )
+        if os.environ.get("DC_REBUILD_TRANSPOSE"):
+            # The cached gather workload embeds transpose tables from the
+            # builder version that prepared it; rebuild them (cheap next to
+            # full prep) so bucket-ladder changes take effect.
+            import dataclasses as _dc
+
+            from depth_correction_tpu.ops.features import (
+                build_bucketed_transpose_device,
+            )
+
+            d = datas.get("gather")
+            if d is not None and d.t_neighbors and d.t_neighbors[0] is not None:
+                t0 = time.perf_counter()
+                m_total = d.batches[0].cloud.depth.size
+                tg = build_bucketed_transpose_device(
+                    d.neighbors[0], num_points=m_total, weights=d.weights[0]
+                )
+                datas["gather"] = _dc.replace(
+                    d, t_neighbors=(tg,), t_slots=(None,)
+                )
+                print(
+                    "[ab] gather transpose rebuilt: %d buckets, %.0f s"
+                    % (len(tg.idx), time.perf_counter() - t0),
+                    file=sys.stderr,
+                )
     else:
         for backend in ("gather", "cellwin"):
             t0 = time.perf_counter()
@@ -110,7 +186,12 @@ def main():
         print("[ab] prep-only mode: workloads cached, exiting", file=sys.stderr)
         return
 
-    for backend in ("gather", "cellwin"):
+    # DC_CELLWIN_ONLY=cellwin (or gather, or "cellwin,gather" for order)
+    # limits/reorders the measured backends: the uncapped gather step OOMs
+    # on a 16 GB chip without chunking, so the engines are often measured
+    # in separate runs.
+    which = os.environ.get("DC_CELLWIN_ONLY", "gather,cellwin").split(",")
+    for backend in which:
         cfg = bench_cfg(backend)
         data = datas[backend]
         if backend == "cellwin":
