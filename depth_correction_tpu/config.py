@@ -293,6 +293,17 @@ class Config(Configurable):
 
         # TPU / parallelism.
         self.mesh_shape = None  # e.g. {'data': 8}; None = single device
+        # Multi-host (DCN) scale-out seam: when set, train()/eval build the
+        # mesh over ALL hosts' devices via jax.distributed (ICI within a
+        # host/slice, DCN across; SURVEY §2.5). E.g.
+        #   dist_coordinator = "10.0.0.1:8476"
+        #   dist_num_processes = 4; dist_process_id = <this host's rank>
+        # mesh_shape then counts GLOBAL devices. None = single process.
+        # Untested on real DCN in this sandbox; the mesh-construction path
+        # is unit-tested with a pre-initialized device list.
+        self.dist_coordinator = None
+        self.dist_num_processes = None
+        self.dist_process_id = None
         # Lay the global point table out in spatial (Morton) order so the
         # per-step neighborhood gathers read near-contiguous HBM rows
         # (frozen permutation, exact gather backward). Single-device layout

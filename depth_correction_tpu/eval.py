@@ -73,16 +73,11 @@ def eval_loss(
     # the point tables, and the loss all shard over the 1-D mesh. A
     # caller-provided test_data keeps its own placement (single-device path).
     mesh = None
-    if cfg.mesh_shape and test_data is None:
-        from .parallel import make_mesh
+    if (cfg.mesh_shape or getattr(cfg, "dist_coordinator", None)) \
+            and test_data is None:
+        from .parallel.sharding import mesh_from_config
 
-        n_dev = (
-            int(cfg.mesh_shape.get("data", 1))
-            if isinstance(cfg.mesh_shape, dict)
-            else int(cfg.mesh_shape)
-        )
-        if n_dev > 1:
-            mesh = make_mesh(n_dev)
+        mesh = mesh_from_config(cfg)
 
     if test_data is None:
         # Forward-only evaluation: no VJP, so no transpose graphs.

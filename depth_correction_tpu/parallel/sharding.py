@@ -34,17 +34,109 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config, PoseCorrection
 from ..ops.features import neighborhood_features
 
-__all__ = ["make_mesh", "shard_train_data", "make_sharded_loss_fn"]
+__all__ = [
+    "make_mesh", "make_multihost_mesh", "shard_train_data",
+    "make_sharded_loss_fn",
+]
 
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
-    """1-D data mesh over the first ``n_devices`` devices."""
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS,
+              devices=None) -> Mesh:
+    """1-D data mesh over the first ``n_devices`` devices.
+
+    :param devices: optional explicit device list (e.g. the global,
+        process-spanning ``jax.devices()`` after ``jax.distributed``
+        initialization — see :func:`make_multihost_mesh`); defaults to this
+        process's view of ``jax.devices()``.
+    """
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                "mesh wants %d devices, %d available" % (n_devices, len(devices))
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_multihost_mesh(
+    n_devices: Optional[int] = None,
+    axis: str = DATA_AXIS,
+    *,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> Mesh:
+    """Process-spanning 1-D data mesh: ICI within a host's slice, DCN across.
+
+    Initializes ``jax.distributed`` (idempotent: skipped when the client is
+    already connected) and builds the mesh over the GLOBAL device list, so
+    the point-axis sharding in :func:`shard_train_data` spans every host's
+    chips. Collectives inside one slice ride the ICI; the scalar psum pair
+    and the establishment all_gathers cross hosts over DCN — the layout
+    keeps per-point tables host-local, so DCN traffic stays O(points/D)
+    positions per step, not O(tables).
+
+    Launch one process per host with identical code and::
+
+        mesh = make_multihost_mesh(
+            coordinator_address="host0:8476",
+            num_processes=N, process_id=rank)
+
+    (or set cfg.dist_coordinator/-num_processes/-process_id and let
+    ``train()`` call this). Single-process fallback: with no coordinator the
+    call is exactly :func:`make_mesh`.
+
+    Untested on real multi-host DCN in this sandbox (one chip); the
+    construction path is covered by a single-process ``jax.distributed``
+    integration test (tests/test_parallel.py).
+    """
+    if coordinator_address is not None:
+        from jax._src import distributed as _dist
+
+        already = getattr(_dist.global_state, "client", None) is not None
+        if not already:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids,
+            )
+    return make_mesh(n_devices, axis, devices=jax.devices())
+
+
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """The training/eval mesh a config asks for, or None (single device).
+
+    ``cfg.mesh_shape`` sizes the 1-D data mesh ({'data': N} or a plain N;
+    N <= 1 means no mesh). ``cfg.dist_coordinator`` upgrades it to a
+    process-spanning multi-host mesh (see :func:`make_multihost_mesh`), in
+    which case N counts GLOBAL devices (None/'all' = every device of every
+    host).
+    """
+    shape = getattr(cfg, "mesh_shape", None)
+    dist = getattr(cfg, "dist_coordinator", None)
+    if not shape and not dist:
+        return None
+    if isinstance(shape, dict):
+        n_dev = shape.get("data", 1)
+    else:
+        n_dev = shape
+    n_dev = None if n_dev in (None, "all") else int(n_dev)
+    if dist:
+        return make_multihost_mesh(
+            n_dev,
+            coordinator_address=dist,
+            num_processes=getattr(cfg, "dist_num_processes", None),
+            process_id=getattr(cfg, "dist_process_id", None),
+        )
+    if n_dev is not None and n_dev <= 1:
+        return None
+    return make_mesh(n_dev)
 
 
 def _stacked_shard_transposes(neighbors, num_points: int, mesh: Mesh,
@@ -157,9 +249,19 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
     if any(c is not None for c in (getattr(data, "cellwin", ()) or ())):
         # The cell-window kernels are a single-device engine; the sharded
         # step builds its own per-shard transpose graphs from
-        # data.neighbors below, so simply drop the cellwin graphs.
+        # data.neighbors below. Dropping the graphs is correct (the gather
+        # engine computes the same uncapped moments) but must not be
+        # silent: a user A/B-ing the backends multi-chip would measure
+        # gather twice.
         import dataclasses as _dc
+        import warnings
 
+        warnings.warn(
+            "cellwin graphs dropped: the cell-window moments engine is "
+            "single-device; the sharded step uses the gather engine on the "
+            "same graph",
+            stacklevel=2,
+        )
         data = _dc.replace(data, cellwin=())
     if any(o is not None for o in (getattr(data, "offsets", ()) or ())):
         raise NotImplementedError(

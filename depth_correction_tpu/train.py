@@ -143,6 +143,19 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
     """
     from .config import NeighborhoodType
 
+    if (
+        getattr(cfg, "moments_backend", "gather") == "cellwin"
+        and mesh is not None
+        and for_grad
+    ):
+        # Fail loudly instead of silently training on the gather engine:
+        # the cell-window Pallas kernels are a single-device engine (their
+        # span DMAs index one device-local cell-sorted point table).
+        raise ValueError(
+            "moments_backend='cellwin' is a single-device engine and cannot "
+            "run under cfg.mesh_shape; set moments_backend='gather' for "
+            "multi-chip training or drop mesh_shape"
+        )
     plane_mode = cfg.nn_type == NeighborhoodType.plane
     icp_mode = cfg.loss == "icp_loss"
     batches: List[SequenceBatch] = []
@@ -865,16 +878,10 @@ def train(
     # array; see parallel/sharding.py), establishment runs under shard_map,
     # and scalars psum over ICI. None = single device.
     mesh = None
-    if cfg.mesh_shape:
-        from .parallel import make_mesh
+    if cfg.mesh_shape or getattr(cfg, "dist_coordinator", None):
+        from .parallel.sharding import mesh_from_config
 
-        n_dev = (
-            int(cfg.mesh_shape.get("data", 1))
-            if isinstance(cfg.mesh_shape, dict)
-            else int(cfg.mesh_shape)
-        )
-        if n_dev > 1:
-            mesh = make_mesh(n_dev)
+        mesh = mesh_from_config(cfg)
 
     train_data = prepare_sequences(train_datasets, cfg, mesh=mesh)
     # Validation only takes gradients when it optimizes its own

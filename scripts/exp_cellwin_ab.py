@@ -78,24 +78,35 @@ def main():
 
     cache = os.environ.get("DC_CELLWIN_CACHE")
     datas = {}
+    cache_dirty = False
     if cache and os.path.exists(cache):
+        import dataclasses as _dc
+
+        from depth_correction_tpu.ops.cellwin import CellWinDevice
+
         with open(cache, "rb") as f:
             datas_np = pickle.load(f)
-        if os.environ.get("DC_REBUILD_CELLWIN") and "cellwin" in datas_np:
-            # Drop the stale device graph BEFORE the pytree walk: graphs
-            # pickled by an older builder may lack fields the registered
-            # dataclass now declares.
-            import dataclasses as _dc
-
-            datas_np["cellwin"] = _dc.replace(
-                datas_np["cellwin"], cellwin=(None,)
+        if "cellwin" in datas_np:
+            cw = (datas_np["cellwin"].cellwin or (None,))[0]
+            stale = cw is not None and any(
+                not hasattr(cw, fld.name) for fld in _dc.fields(CellWinDevice)
             )
+            if stale or os.environ.get("DC_REBUILD_CELLWIN"):
+                # Drop the stale device graph BEFORE the pytree walk:
+                # graphs pickled by an older builder may lack fields the
+                # registered dataclass now declares (tree_map would crash).
+                datas_np["cellwin"] = _dc.replace(
+                    datas_np["cellwin"], cellwin=(None,)
+                )
         datas = {
             k: jax.tree_util.tree_map(jnp.asarray, v)
             for k, v in datas_np.items()
         }
         print("[ab] workloads loaded from %s" % cache, file=sys.stderr)
-        if os.environ.get("DC_REBUILD_CELLWIN"):
+        if (
+            "cellwin" in datas
+            and (datas["cellwin"].cellwin or (None,))[0] is None
+        ):
             # Kernel-layout changes (e.g. the 128-aligned span starts)
             # invalidate cached CellWinDevice graphs; rebuild from the
             # cached establishment (the expensive part is reused).
@@ -130,6 +141,7 @@ def main():
                 datas["cellwin"] = _dc.replace(
                     d, cellwin=(graph_to_device(g),)
                 )
+                cache_dirty = True
                 print(
                     "[ab] cellwin graph rebuilt: %d tiles x %d (span %d/%d),"
                     " %d exc, %.0f s"
@@ -157,11 +169,23 @@ def main():
                 datas["gather"] = _dc.replace(
                     d, t_neighbors=(tg,), t_slots=(None,)
                 )
+                cache_dirty = True
                 print(
                     "[ab] gather transpose rebuilt: %d buckets, %.0f s"
                     % (len(tg.idx), time.perf_counter() - t0),
                     file=sys.stderr,
                 )
+        if cache_dirty:
+            # Persist rebuilt graphs so later runs skip the rebuild.
+            with open(cache, "wb") as f:
+                pickle.dump(
+                    {
+                        k: jax.tree_util.tree_map(np.asarray, v)
+                        for k, v in datas.items()
+                    },
+                    f,
+                )
+            print("[ab] cache re-saved", file=sys.stderr)
     else:
         for backend in ("gather", "cellwin"):
             t0 = time.perf_counter()

@@ -283,3 +283,28 @@ def test_cellwin_checkpoint_resume_bitexact(tmp_path):
     best_b = train(cfgf(tmp_path / "b", 12))
     w_b = np.asarray(load_model(cfg=best_b).w)
     np.testing.assert_allclose(w_b, w_a, rtol=1e-12)
+
+
+def test_cellwin_under_mesh_fails_loudly(tmp_path):
+    """cellwin + mesh must not silently train on the gather engine:
+    prepare_sequences raises, and sharding data that carries cellwin
+    graphs warns when it drops them."""
+    import warnings
+
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.parallel import make_mesh, shard_train_data
+    from depth_correction_tpu.train import prepare_sequences
+
+    cfg = _tiny_cfg(tmp_path, "cellwin")
+    ds = create_dataset(cfg.train_names[0], cfg)
+    mesh = make_mesh(2)
+    with pytest.raises(ValueError, match="single-device"):
+        prepare_sequences([ds], cfg, mesh=mesh)
+
+    data = prepare_sequences([ds], cfg)  # single-device build succeeds
+    assert data.cellwin[0] is not None
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sharded = shard_train_data(data, mesh)
+    assert any("cellwin" in str(w.message) for w in caught)
+    assert not any(c is not None for c in (sharded.cellwin or ()))

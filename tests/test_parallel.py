@@ -556,3 +556,72 @@ def test_sharded_plane_inlier_trim_and_finite_kwargs():
     cfg2.loss_kwargs = {"sqrt": False, "normalization": False}
     v_untrimmed = float(jax.jit(make_sharded_loss_fn(sharded, cfg2, mesh))(p))
     assert v_got < v_untrimmed
+
+
+def test_make_mesh_accepts_explicit_devices():
+    """The multi-host seam: the mesh builder must take a pre-initialized
+    (process-spanning) device list instead of re-deriving its own."""
+    from depth_correction_tpu.parallel import make_mesh
+
+    devs = jax.devices()
+    mesh = make_mesh(devices=devs)
+    assert list(mesh.devices.ravel()) == list(devs)
+    mesh4 = make_mesh(4, devices=devs)
+    assert list(mesh4.devices.ravel()) == list(devs[:4])
+    import pytest
+
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(len(devs) + 1, devices=devs)
+
+
+def test_mesh_from_config_variants():
+    from depth_correction_tpu.config import Config
+    from depth_correction_tpu.parallel.sharding import mesh_from_config
+
+    cfg = Config()
+    assert mesh_from_config(cfg) is None
+    cfg.mesh_shape = {"data": 1}
+    assert mesh_from_config(cfg) is None
+    cfg.mesh_shape = {"data": 8}
+    assert mesh_from_config(cfg).devices.size == 8
+    cfg.mesh_shape = 4
+    assert mesh_from_config(cfg).devices.size == 4
+
+
+def test_multihost_mesh_via_jax_distributed():
+    """make_multihost_mesh initializes jax.distributed and builds the mesh
+    over the GLOBAL device list. Real DCN needs multiple hosts; here one
+    process with 8 virtual devices exercises the full initialize ->
+    global-devices -> mesh -> collective path in a subprocess (the client
+    must connect before any backend exists, so it cannot run in-process).
+    """
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+from depth_correction_tpu.parallel import make_multihost_mesh
+mesh = make_multihost_mesh(
+    coordinator_address="localhost:18476", num_processes=1, process_id=0)
+assert mesh.devices.size == 8, mesh
+assert jax.process_count() == 1
+# a collective over the mesh actually runs
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+x = jax.device_put(jnp.arange(16.0), NamedSharding(mesh, P("data")))
+s = jax.jit(lambda v: v.sum())(x)
+assert float(s) == 120.0, s
+# idempotent: a second call reuses the live client
+mesh2 = make_multihost_mesh(
+    coordinator_address="localhost:18476", num_processes=1, process_id=0)
+assert mesh2.devices.size == 8
+print("MULTIHOST_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+    assert "MULTIHOST_OK" in out.stdout, (out.stdout, out.stderr)
