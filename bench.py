@@ -1,11 +1,15 @@
 """Benchmark: self-supervised training step, TPU (this framework) vs the
 reference-style CPU loop.
 
-Workload mirrors the canonical parity configuration (BASELINE.md): a
-multi-view sequence, ball neighborhoods at nn_r, normalized min-eigenvalue
-map-consistency loss, ScaledPolynomial model, Adam — with frozen
-neighborhoods, exactly the amortization the reference training loop uses
-(reference: train.py:166-226).
+HEADLINE workload (reported in the JSON line): the reference's ACTUAL
+objective — UNCAPPED within-r neighborhoods (query_ball_point semantics,
+reference nearest_neighbors.py:40-52; mean degree ~123 on this scene) over
+a multi-view sequence, normalized min-eigenvalue map-consistency loss,
+ScaledPolynomial model, Adam, frozen neighborhoods (exactly the
+amortization the reference training loop uses; reference train.py:166-226).
+Our step runs the promoted cell-window Pallas engine (ops/cellwin.py; auto
+on TPU). A SECONDARY capped-32 workload (nn_max_neighbors=32, gather
+engine) is also measured for continuity with earlier rounds.
 
 Measured quantity: wall time of ONE full optimization step
 (model apply -> pose transform -> merge -> neighborhood mean/cov ->
@@ -24,12 +28,18 @@ eigendecomposition -> masked loss -> backward -> Adam update).
   already generous. Median over steps; this host's single contended core
   makes the reading noisy (see README).
 - Also printed: an "optimized torch" variant that additionally reuses OUR
-  query-row compaction (~6x less feature work than the reference does) —
+  query-row compaction (~40% less feature work than the reference does) —
   a stricter, beyond-reference comparison point.
+- PARITY (not just speed): both sides start from w=0 on the SAME graph;
+  the stderr log and JSON carry the relative loss disagreement at w=0
+  (ours f32-TPU vs torch f64-CPU — pure numeric agreement of the
+  objective) and the relative w disagreement after 6 identical Adam steps
+  (BASELINE.md north star: >=20x AND loss parity).
 
 Prints ONE JSON line:
-  {"metric": "train_step_ms", "value": <ours>, "unit": "ms",
-   "vs_baseline": <baseline_ms / ours_ms>}
+  {"metric": "train_step_ms", "value": <ours, uncapped>, "unit": "ms",
+   "vs_baseline": <uncapped reference-torch ms / ours ms>, ...parity and
+   capped-continuity fields}
 """
 from __future__ import annotations
 
@@ -41,11 +51,13 @@ import numpy as np
 
 STEPS = 20
 WARMUP = 3
+TORCH_STEPS = 5  # timed torch steps (1 warmup before them)
 T0 = time.perf_counter()
 
-
-def n_query_full(full_nn):
-    return int(np.asarray(full_nn).shape[0])
+# Chunk the torch baselines' per-row feature work past this many (rows * K)
+# pairs: the uncapped graph's dense (M, K, 3) float64 intermediates would
+# otherwise not fit host RAM (autograd keeps them alive until backward).
+TORCH_PAIRS_CHUNK = 24_000_000
 
 
 def _devices_or_retry():
@@ -85,9 +97,46 @@ def _devices_or_retry():
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def build_workload():
+def bench_config(uncapped: bool):
     """Synthetic multi-view sequence at ASL-laser-like scale after
-    preprocessing: ~25k points/scan x 6 scans, r = 0.25 m neighborhoods.
+    preprocessing: ~25k points/scan x 6 scans, r = 0.25 m neighborhoods."""
+    import os
+
+    from depth_correction_tpu.config import Config
+
+    cfg = Config()
+    cfg.nn_backend = "grid"
+    cfg.float_type = "float32"
+    cfg.dataset = "open_box"
+    cfg.train_names = ["open_box/n_6_size_20_20_5_height_1_density_400"]
+    cfg.min_depth, cfg.max_depth = 1.0, 25.0
+    cfg.grid_res = 0.1
+    cfg.nn_r, cfg.nn_k = 0.25, 0
+    cfg.min_valid_neighbors = 5
+    cfg.vp_dispersion_bounds = []
+    cfg.eigenvalue_ratio_bounds = [[0, 1, 0, 0.25], [1, 2, 0.25, 1.0]]
+    cfg.loss = "min_eigval_loss"
+    cfg.loss_kwargs = {"sqrt": False, "normalization": True}
+    cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
+    cfg.lr = 2e-4
+    if uncapped:
+        # Reference query_ball_point semantics: every neighbor within r.
+        cfg.nn_max_neighbors = None
+        # 'auto' -> the cell-window Pallas engine on TPU (measured 5.1x
+        # over gather at these semantics); DC_MOMENTS_BACKEND overrides
+        # for A/B runs.
+        cfg.moments_backend = os.environ.get("DC_MOMENTS_BACKEND", "auto")
+    else:
+        # Continuity row: the K=32-capped graph earlier rounds measured.
+        cfg.nn_max_neighbors = 32
+        cfg.moments_backend = "gather"
+        # A/B knob: Morton-ordered point table (see cfg.spatial_sort).
+        cfg.spatial_sort = bool(int(os.environ.get("DC_SPATIAL_SORT", "0")))
+    return cfg
+
+
+def build_workload(uncapped: bool):
+    """(cfg, TrainData, full-cloud neighbor matrix) for one graph mode.
 
     Preprocessing (one-time, not the measured quantity) dogfoods the
     framework's own scalable path: neighborhood establishment runs the
@@ -99,81 +148,62 @@ def build_workload():
     import pickle
 
     import jax
-
-    # Persistent compile cache: prep compiles ~a dozen programs (features,
-    # grid engine, transpose builders); repeat runs on the same host reuse
-    # the serialized executables instead of re-paying the (remote) compiler.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/jax_dctpu_tpu"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _devices_or_retry()
     import jax.numpy as jnp
 
-    from depth_correction_tpu.config import Config
     from depth_correction_tpu.datasets import create_dataset
     from depth_correction_tpu.train import prepare_sequences
+
+    mode = "uncapped" if uncapped else "capped"
+    cfg = bench_config(uncapped)
 
     # Optional prep cache (DC_BENCH_CACHE=<path>) for fast iteration on the
     # measured step; the canonical driver run builds from scratch.
     cache = os.environ.get("DC_BENCH_CACHE")
-    want_sort = bool(int(os.environ.get("DC_SPATIAL_SORT", "0")))
-    want_backend = os.environ.get("DC_MOMENTS_BACKEND", "gather")
+    cache = cache + "." + mode if cache else None
     if cache and os.path.exists(cache):
         with open(cache, "rb") as f:
-            cfg, data_np, full_nn = pickle.load(f)
+            ccfg, data_np, full_nn = pickle.load(f)
         # The cached workload embeds the A/B knobs it was built with; a
         # knob change must rebuild, not silently measure the stale layout.
-        if (bool(cfg.spatial_sort) != want_sort
-                or getattr(cfg, "moments_backend", "gather") != want_backend):
+        same = (
+            bool(ccfg.spatial_sort) == bool(cfg.spatial_sort)
+            and getattr(ccfg, "moments_backend", "auto") == cfg.moments_backend
+            and ccfg.nn_max_neighbors == cfg.nn_max_neighbors
+        )
+        if not same:
             print(
-                "[bench] cache %s was built with spatial_sort=%s backend=%s"
-                " != requested (%s, %s); rebuilding"
-                % (cache, cfg.spatial_sort,
-                   getattr(cfg, "moments_backend", "gather"),
-                   want_sort, want_backend),
+                "[bench] cache %s knobs differ from requested; rebuilding"
+                % cache,
                 file=sys.stderr,
             )
         else:
             data = jax.tree_util.tree_map(jnp.asarray, data_np)
-            print("[bench] workload loaded from %s" % cache, file=sys.stderr)
-            return cfg, data, jnp.asarray(full_nn)
-
-    cfg = Config()
-    cfg.nn_backend = "grid"
-    cfg.float_type = "float32"
-    # A/B knob: Morton-ordered point table (see cfg.spatial_sort).
-    cfg.spatial_sort = bool(int(os.environ.get("DC_SPATIAL_SORT", "0")))
-    # A/B knob: moments engine ('gather' | 'cellwin', see
-    # cfg.moments_backend; cellwin implies uncapped establishment).
-    cfg.moments_backend = os.environ.get("DC_MOMENTS_BACKEND", "gather")
-    cfg.dataset = "open_box"
-    cfg.train_names = ["open_box/n_6_size_20_20_5_height_1_density_400"]
-    cfg.min_depth, cfg.max_depth = 1.0, 25.0
-    cfg.grid_res = 0.1
-    cfg.nn_r, cfg.nn_k = 0.25, 0
-    cfg.nn_max_neighbors = 32
-    cfg.min_valid_neighbors = 5
-    cfg.vp_dispersion_bounds = []
-    cfg.eigenvalue_ratio_bounds = [[0, 1, 0, 0.25], [1, 2, 0.25, 1.0]]
-    cfg.loss = "min_eigval_loss"
-    cfg.loss_kwargs = {"sqrt": False, "normalization": True}
-    cfg.depth_bias_model_kwargs = {"w": [-0.002], "exponent": [4.0]}
-    cfg.lr = 2e-4
+            print("[bench] %s workload loaded from %s" % (mode, cache),
+                  file=sys.stderr)
+            return ccfg, data, jnp.asarray(full_nn)
 
     ds = create_dataset(cfg.train_names[0], cfg)
-    print("[bench] dataset ready (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
+    print("[bench] dataset ready (t=%.0fs)" % (time.perf_counter() - T0),
+          file=sys.stderr)
     print("[bench] prep device: %s" % jax.devices()[0], file=sys.stderr)
     data = prepare_sequences([ds], cfg)
     # Full-cloud neighbor matrix for the reference-semantics baseline
     # (the reference computes features for every point each iteration;
     # prepare_sequences compacts to the loss rows for OUR step).
-    from depth_correction_tpu.preproc import establish_neighborhoods, global_cloud
+    from depth_correction_tpu.preproc import (
+        establish_neighborhoods,
+        global_cloud,
+    )
 
     gcloud = global_cloud(data.batches[0])
-    full_nn, _ = establish_neighborhoods(gcloud, cfg)
-    print("[bench] sequences prepared (t=%.0fs)" % (time.perf_counter() - T0), file=sys.stderr)
+    est_cfg = cfg
+    if uncapped:
+        est_cfg = cfg.copy()
+        est_cfg.nn_max_neighbors = None
+        est_cfg.nn_symmetrize = False
+    full_nn, _ = establish_neighborhoods(gcloud, est_cfg)
+    print("[bench] %s sequences prepared (t=%.0fs)"
+          % (mode, time.perf_counter() - T0), file=sys.stderr)
     if cache:
         with open(cache, "wb") as f:
             pickle.dump(
@@ -191,7 +221,13 @@ def to_device(data, device):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), data)
 
 
-def bench_ours(cfg, data) -> float:
+def bench_ours(cfg, data):
+    """(ms/step, loss at w=0, w after 6 steps, final loss).
+
+    The parity probes ride the same pipelined loop: the step-6 params
+    pytree is stashed by REFERENCE mid-loop (no host sync) and
+    materialized after the timed region.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -203,7 +239,8 @@ def bench_ours(cfg, data) -> float:
     print("[bench] step device: %s" % device, file=sys.stderr)
     data = to_device(data, device)
     loss_fn = make_loss_fn(cfg)
-    params = {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))}
+    params = {"model": ScaledPolynomial(w=jnp.zeros(1),
+                                        exponent=jnp.asarray([4.0]))}
     params = to_device(params, device)
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
@@ -214,8 +251,14 @@ def bench_ours(cfg, data) -> float:
         updates, opt_state = tx.update(grads, opt_state, params)
         return loss, optax.apply_updates(params, updates), opt_state
 
+    loss0 = None
+    probe_params = None
+    n_done = 0
     for _ in range(WARMUP):
         loss, params, opt_state = step(params, opt_state, data)
+        if loss0 is None:
+            loss0 = loss  # loss evaluated at the w=0 input params
+        n_done += 1
     jax.block_until_ready((loss, params))
 
     # Pipelined loop: each step consumes the previous step's params/opt
@@ -224,24 +267,38 @@ def bench_ours(cfg, data) -> float:
     t0 = time.perf_counter()
     for _ in range(STEPS):
         loss, params, opt_state = step(params, opt_state, data)
+        n_done += 1
+        if n_done == 1 + TORCH_STEPS:
+            probe_params = params  # reference only; materialized later
     final_loss = float(loss)
     total = time.perf_counter() - t0
+    w6 = (
+        float(np.asarray(probe_params["model"].w)[0])
+        if probe_params is not None
+        else float("nan")
+    )
     print(
-        "[bench] ours: final loss %.3e, w %.3e" % (final_loss,
-        float(np.asarray(params["model"].w)[0])),
+        "[bench] ours: loss %.6e (w=0) -> %.3e final, w %.3e"
+        % (float(loss0), final_loss,
+           float(np.asarray(params["model"].w)[0])),
         file=sys.stderr,
     )
-    return float(total / STEPS * 1e3)
+    return float(total / STEPS * 1e3), float(loss0), w6, final_loss
 
 
-def bench_torch_baseline(cfg, data, steps: int = 5, full_nn=None) -> float:
+def bench_torch_baseline(cfg, data, steps: int = TORCH_STEPS, full_nn=None):
     """Reference-semantics step in torch float64 on CPU.
 
     With ``full_nn``: neighborhood features for EVERY global-cloud point
     per iteration — what the reference's loop actually computes
     (preproc.py:195-244), vectorized (already generous: the reference adds
     Python per-cloud loops). Without it: the stricter 'optimized torch'
-    variant that reuses OUR query compaction. Median over steps.
+    variant that reuses OUR query compaction. Past TORCH_PAIRS_CHUNK
+    dense pairs the per-row feature work is row-chunked with per-chunk
+    backward (identical math; dense uncapped intermediates exceed host
+    RAM otherwise).
+
+    :return: (median ms/step, loss at w=0, w after 1+steps steps).
     """
     import torch
 
@@ -257,22 +314,45 @@ def bench_torch_baseline(cfg, data, steps: int = 5, full_nn=None) -> float:
         nn = torch.as_tensor(nn_np, dtype=torch.long)
         w8 = torch.as_tensor((nn_np >= 0).astype(np.float64))
         # Reference semantics: features everywhere, mask at reduction only.
-        mask = torch.as_tensor((nn_np >= 0).sum(1) >= cfg.min_valid_neighbors)
+        mask = torch.as_tensor(
+            (nn_np >= 0).sum(1) >= cfg.min_valid_neighbors
+        )
     else:
         nn = torch.as_tensor(np.asarray(data.neighbors[0]), dtype=torch.long)
-        w8 = torch.as_tensor(np.asarray(data.weights[0]), dtype=torch.float64)
+        w8 = torch.as_tensor(np.asarray(data.weights[0]),
+                             dtype=torch.float64)
         mask = torch.as_tensor(np.asarray(data.masks[0]))
     nn = nn.clamp(min=0)
 
     vps = torch.as_tensor(np.asarray(batch.cloud.vps), dtype=torch.float64)
     dirs = torch.as_tensor(np.asarray(batch.cloud.dirs), dtype=torch.float64)
-    depth0 = torch.as_tensor(np.asarray(batch.cloud.depth), dtype=torch.float64)
-    inc = torch.as_tensor(np.asarray(batch.cloud.inc_angles), dtype=torch.float64)
+    depth0 = torch.as_tensor(np.asarray(batch.cloud.depth),
+                             dtype=torch.float64)
+    inc = torch.as_tensor(np.asarray(batch.cloud.inc_angles),
+                          dtype=torch.float64)
     lmask = torch.as_tensor(np.asarray(batch.cloud.mask))
     poses = torch.as_tensor(np.asarray(batch.poses), dtype=torch.float64)
 
     w = torch.zeros(1, dtype=torch.float64, requires_grad=True)
     opt = torch.optim.Adam([w], lr=cfg.lr)
+
+    m_rows, k = nn.shape
+    n_masked = int(mask.sum())
+    chunk = m_rows
+    if m_rows * k > TORCH_PAIRS_CHUNK:
+        chunk = max(TORCH_PAIRS_CHUNK // k, 1024)
+
+    def row_loss(gpts, nn_c, w8_c, mask_c):
+        nbr = gpts[nn_c]  # (m, K, 3)
+        wsum = w8_c.sum(dim=1, keepdim=True)
+        mean = (w8_c.unsqueeze(-1) * nbr).sum(dim=1) / wsum.clamp(min=1e-12)
+        xc = (nbr - mean[:, None, :]) * w8_c.unsqueeze(-1).sqrt()
+        cov = torch.einsum("mki,mkj->mij", xc, xc) / (
+            wsum - 1
+        ).clamp(min=1e-6)[..., None]
+        eigvals = torch.linalg.eigvalsh(cov)
+        loss_pw = eigvals[:, 0] / eigvals.sum(dim=1).clamp(min=1e-6)
+        return loss_pw[mask_c].sum()
 
     def step():
         bias = inc.pow(4.0) * w
@@ -284,73 +364,143 @@ def bench_torch_baseline(cfg, data, steps: int = 5, full_nn=None) -> float:
         gpts = gpts.reshape(-1, 3)
         if perm is not None:
             gpts = gpts[perm]  # sorted-space tables (cfg.spatial_sort)
-        nbr = gpts[nn]  # (M, K, 3)
-        wsum = w8.sum(dim=1, keepdim=True)
-        mean = (w8.unsqueeze(-1) * nbr).sum(dim=1) / wsum.clamp(min=1e-12)
-        xc = (nbr - mean[:, None, :]) * w8.unsqueeze(-1).sqrt()
-        cov = torch.einsum("mki,mkj->mij", xc, xc) / (wsum - 1).clamp(min=1e-6)[..., None]
-        eigvals = torch.linalg.eigvalsh(cov)
-        loss_pw = eigvals[:, 0] / eigvals.sum(dim=1).clamp(min=1e-6)
-        loss = loss_pw[mask].mean()
         opt.zero_grad()
-        loss.backward()
+        if chunk >= m_rows:
+            loss = row_loss(gpts, nn, w8, mask) / max(n_masked, 1)
+            loss.backward()
+            loss_val = float(loss)
+        else:
+            # Row-chunked: per-chunk backward (retain the shared gpts
+            # prefix) frees each chunk's dense intermediates; grads and
+            # the scalar loss accumulate identically to the fused form.
+            loss_val = 0.0
+            for i in range(0, m_rows, chunk):
+                part = row_loss(
+                    gpts, nn[i : i + chunk], w8[i : i + chunk],
+                    mask[i : i + chunk],
+                ) / max(n_masked, 1)
+                part.backward(retain_graph=i + chunk < m_rows)
+                loss_val += float(part)
         opt.step()
-        return loss
+        return loss_val
 
-    step()  # warmup / sanity
+    loss0 = step()  # warmup / sanity; loss evaluated at w=0
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
         step()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1e3)
+    w_end = float(w.detach()[0])
+    return float(np.median(times) * 1e3), float(loss0), w_end
 
 
-def main():
-    cfg, data, full_nn = build_workload()
-    # Report the three sizes separately (they are different things): the
-    # merged global cloud the model corrects, the compacted query rows whose
-    # neighborhoods are recomputed every step, and the masked rows reduced
-    # into the loss.
+def _sizes(data):
     n_global = int(np.asarray(data.batches[0].cloud.valid).sum())
     n_query = int(np.asarray(data.masks[0]).size)
     n_masked = int(np.asarray(data.masks[0]).sum())
+    k = int(np.asarray(data.neighbors[0]).shape[1])
+    return n_global, n_query, n_masked, k
+
+
+def run_mode(uncapped: bool):
+    """Measure one graph mode end to end; returns the stderr-logged stats."""
+    mode = "uncapped" if uncapped else "capped"
+    cfg, data, full_nn = build_workload(uncapped)
+    n_global, n_query, n_masked, k = _sizes(data)
+    engine = (
+        "cellwin"
+        if any(c is not None for c in (getattr(data, "cellwin", ()) or ()))
+        else "gather"
+    )
     print(
-        "[bench] workload: %d corrected global points; %d query rows "
-        "(%d in loss), K=%d"
-        % (n_global, n_query, n_masked, int(np.asarray(data.neighbors[0]).shape[1])),
+        "[bench] %s workload: %d corrected global points; %d query rows "
+        "(%d in loss), K=%d, engine=%s"
+        % (mode, n_global, n_query, n_masked, k, engine),
         file=sys.stderr,
     )
 
-    ours_ms = bench_ours(cfg, data)
-    print("[bench] ours: %.3f ms/step" % ours_ms, file=sys.stderr)
+    ours_ms, loss0_ours, w6_ours, _final = bench_ours(cfg, data)
+    print("[bench] %s ours: %.3f ms/step" % (mode, ours_ms), file=sys.stderr)
 
-    baseline_ms = bench_torch_baseline(cfg, data, full_nn=full_nn)
+    n_full = int(np.asarray(full_nn).shape[0])
+    ref_ms, loss0_ref, w6_ref = bench_torch_baseline(cfg, data,
+                                                     full_nn=full_nn)
     print(
-        "[bench] torch-cpu float64 baseline, reference semantics "
-        "(all %d rows; median): %.3f ms/step" % (n_query_full(full_nn), baseline_ms),
+        "[bench] %s torch-cpu f64 baseline, reference semantics "
+        "(all %d rows; median): %.3f ms/step"
+        % (mode, n_full, ref_ms),
         file=sys.stderr,
     )
-    opt_ms = bench_torch_baseline(cfg, data)
+    opt_ms, _, _ = bench_torch_baseline(cfg, data)
     print(
-        "[bench] torch-cpu float64 optimized variant (our compaction, "
-        "%d rows; median): %.3f ms/step" % (n_query, opt_ms),
+        "[bench] %s torch-cpu f64 optimized variant (our compaction, "
+        "%d rows; median): %.3f ms/step" % (mode, n_query, opt_ms),
+        file=sys.stderr,
+    )
+
+    # Parity on the measured workload: the torch reference baseline masks
+    # the same loss rows on the same frozen graph, so its w=0 loss is the
+    # f64 oracle for ours (f32 TPU). w after 6 identical Adam(2e-4) steps
+    # probes gradient agreement through the optimizer.
+    loss_rel = abs(loss0_ours - loss0_ref) / max(abs(loss0_ref), 1e-30)
+    w_rel = abs(w6_ours - w6_ref) / max(abs(w6_ref), 1e-30)
+    print(
+        "[bench] %s parity: loss(w=0) ours %.8e vs torch-f64 %.8e "
+        "(rel %.2e); w after %d steps ours %.6e vs %.6e (rel %.2e)"
+        % (mode, loss0_ours, loss0_ref, loss_rel, 1 + TORCH_STEPS,
+           w6_ours, w6_ref, w_rel),
         file=sys.stderr,
     )
 
     pts_per_sec = n_global / (ours_ms / 1e3)
-    print("[bench] corrected points/sec/chip: %.3g" % pts_per_sec, file=sys.stderr)
+    print("[bench] %s corrected points/sec/chip: %.3g" % (mode, pts_per_sec),
+          file=sys.stderr)
+    return {
+        "ours_ms": ours_ms,
+        "ref_ms": ref_ms,
+        "opt_ms": opt_ms,
+        "loss_rel": loss_rel,
+        "w_rel": w_rel,
+        "engine": engine,
+        "k": k,
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_ms",
-                "value": round(ours_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(baseline_ms / ours_ms, 2),
-            }
-        )
+
+def main():
+    import os
+
+    import jax
+
+    # Persistent compile cache: prep compiles ~a dozen programs (features,
+    # grid engine, transpose builders); repeat runs on the same host reuse
+    # the serialized executables instead of re-paying the (remote) compiler.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_dctpu_tpu"),
     )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _devices_or_retry()
+
+    modes = os.environ.get("DC_BENCH_MODES", "uncapped,capped").split(",")
+    stats = {m: run_mode(m == "uncapped") for m in modes}
+
+    u = stats.get("uncapped") or next(iter(stats.values()))
+    out = {
+        "metric": "train_step_ms",
+        "value": round(u["ours_ms"], 3),
+        "unit": "ms",
+        "vs_baseline": round(u["ref_ms"] / u["ours_ms"], 2),
+        "graph": "uncapped_r0.25" if "uncapped" in stats else "capped32",
+        "engine": u["engine"],
+        "vs_optimized_torch": round(u["opt_ms"] / u["ours_ms"], 2),
+        "loss_rel_err_w0": round(u["loss_rel"], 9),
+        "w_rel_err_6steps": round(u["w_rel"], 9),
+    }
+    c = stats.get("capped")
+    if c is not None:
+        out["capped32_ms"] = round(c["ours_ms"], 3)
+        out["capped32_vs_baseline"] = round(c["ref_ms"] / c["ours_ms"], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

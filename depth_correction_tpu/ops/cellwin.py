@@ -143,29 +143,36 @@ def _build_tiles(cc_sorted: np.ndarray, cap: int, span_budget_probe,
     plus each tile's (cx, ylo, yhi, zlo, zhi).
     """
     n = cc_sorted.shape[0]
+    # Plain Python ints once: per-item numpy scalar indexing dominates the
+    # loop otherwise (measured 610k probes -> 21 s at bench scale).
+    xs, ys, zs = (cc_sorted[:, c].tolist() for c in range(3))
     tiles = []
     i = 0
     while i < n:
-        cx, cy = cc_sorted[i, 0], cc_sorted[i, 1]
+        cx, cy = xs[i], ys[i]
         j = i + 1
         ylo = yhi = cy
-        zlo = zhi = cc_sorted[i, 2]
+        zlo = zhi = zs[i]
+        ok_bounds = None  # last PROBE-APPROVED (yhi, zlo, zhi)
         while j < n and (j - i) < cap:
-            x2, y2, z2 = cc_sorted[j]
+            x2, y2, z2 = xs[j], ys[j], zs[j]
             if x2 != cx or (y2 - ylo) >= Y_MAX:
                 break
-            if z_max is not None and (
-                max(zhi, z2) - min(zlo, z2) + 1 > z_max
-            ):
+            ny2 = y2 if y2 > yhi else yhi
+            nzlo = z2 if z2 < zlo else zlo
+            nzhi = z2 if z2 > zhi else zhi
+            if z_max is not None and nzhi - nzlo + 1 > z_max:
                 break
-            ok = span_budget_probe(
-                cx, ylo, max(yhi, y2), min(zlo, z2), max(zhi, z2)
-            )
-            if not ok:
-                break
-            yhi = max(yhi, y2)
-            zlo = min(zlo, z2)
-            zhi = max(zhi, z2)
+            cand = (ny2, nzlo, nzhi)
+            if cand != ok_bounds:
+                # The window only changes when a bound expands; bounds the
+                # probe already approved need no re-probe (items are
+                # cell-sorted, so most extensions keep the bounds). The
+                # FIRST extension always probes (nothing approved yet).
+                if not span_budget_probe(cx, ylo, ny2, nzlo, nzhi):
+                    break
+                ok_bounds = cand
+            yhi, zlo, zhi = cand
             j += 1
         tiles.append((i, j, cx, ylo, yhi, zlo, zhi))
         i = j
@@ -199,6 +206,21 @@ def _window_spans(starts, dims, cx, ylo, yhi, zlo, zhi):
                 out_len[s] = b - a
             s += 1
     return out_start, out_len
+
+
+def _window_spans_max(starts, dims, cx, ylo, yhi, zlo, zhi) -> int:
+    """Max span length of :func:`_window_spans`, vectorized (probe path)."""
+    nx, ny, nz = int(dims[0]), int(dims[1]), int(dims[2])
+    z0 = max(int(zlo) - 1, 0)
+    z1 = min(int(zhi) + 1, nz - 1)
+    x = np.arange(int(cx) - 1, int(cx) + 2)
+    y = np.arange(int(ylo) - 1, int(yhi) + 2)
+    x = x[(x >= 0) & (x < nx)]
+    y = y[(y >= 0) & (y < ny)]
+    if x.size == 0 or y.size == 0:
+        return 0
+    base = (x[:, None] * ny + y[None, :]).ravel() * nz
+    return int((starts[base + z1 + 1] - starts[base + z0]).max(initial=0))
 
 
 def _dense_starts(lin_sorted: np.ndarray, n_cells: int) -> np.ndarray:
@@ -274,8 +296,10 @@ def build_cellwin_graph(
     # inside it) — so tiles are built against a conservative budget and
     # spans are recomputed over the padded layout afterwards.
     def probe_pts(cx, ylo, yhi, zlo, zhi):
-        _, ln = _window_spans(pt_starts, dims, cx, ylo, yhi, zlo, zhi)
-        return ln.max(initial=0) <= span_limit
+        return (
+            _window_spans_max(pt_starts, dims, cx, ylo, yhi, zlo, zhi)
+            <= span_limit
+        )
 
     pt_tiles = _build_tiles(cc_pts, pt_cap, probe_pts, z_max=z_max)
     t2 = len(pt_tiles)
@@ -320,10 +344,12 @@ def build_cellwin_graph(
     cc_rows = cc[rows_sorted]
 
     def probe_rows(cx, ylo, yhi, zlo, zhi):
-        _, ln = _window_spans(
-            pt_starts_padded, dims, cx, ylo, yhi, zlo, zhi
+        return (
+            _window_spans_max(
+                pt_starts_padded, dims, cx, ylo, yhi, zlo, zhi
+            )
+            <= span_limit
         )
-        return ln.max(initial=0) <= span_limit
 
     row_tiles = _build_tiles(cc_rows, row_cap, probe_rows, z_max=z_max)
     t1 = len(row_tiles)
@@ -349,7 +375,12 @@ def build_cellwin_graph(
             pt_starts_padded, dims, cx, ylo, yhi, zlo, zhi
         )
         if ln.max(initial=0) > span_limit:
-            return None  # padding pushed a span over budget; bail out
+            # Over-budget window (an irreducibly dense single-row tile, or
+            # tile padding pushed a span over): degrade gracefully — leave
+            # the tile's spans empty so the exactness audit routes its rows
+            # through the gather path (every frozen neighbor reads as
+            # missing) instead of declining the whole graph.
+            continue
         f_span_start[t] = st
         f_span_len[t] = ln
         f_tile_ctr[t] = mins + cell * np.array(
