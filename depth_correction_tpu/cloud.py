@@ -81,12 +81,19 @@ class Cloud:
         """Rigid transform of vps/dirs (+normals); depth is invariant
         (reference: depth_cloud.py:135-152). Derived geometry is dropped.
         """
+        from .ops.se3 import PPREC
+
+        # PPREC: the TPU's default bf16 matmul passes would quantize the
+        # rotated positions by ~1 cm at 20 m (see ops/se3.py).
         R = T[..., :3, :3]
+        Rt = jnp.swapaxes(R, -1, -2)
         t = T[..., :3, 3]
-        vps = self.vps @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
-        dirs = self.dirs @ jnp.swapaxes(R, -1, -2)
+        vps = jnp.matmul(self.vps, Rt, precision=PPREC) + t[..., None, :]
+        dirs = jnp.matmul(self.dirs, Rt, precision=PPREC)
         normals = (
-            self.normals @ jnp.swapaxes(R, -1, -2) if self.normals is not None else None
+            jnp.matmul(self.normals, Rt, precision=PPREC)
+            if self.normals is not None
+            else None
         )
         return Cloud(
             vps=vps,

@@ -113,7 +113,10 @@ def _poly_bias(
     if not learnable_exponents:
         exponent = jax.lax.stop_gradient(exponent)
     x = jnp.power(inc_angles[..., None], exponent)  # (..., N, E)
-    return x @ w  # (..., N)
+    # Full-f32 passes: the bias is the QUANTITY BEING ESTIMATED (1e-3
+    # scale); a default bf16 pass would quantize it to ~8 mantissa bits
+    # (ops/se3.py PPREC).
+    return jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)  # (..., N)
 
 
 @jax.tree_util.register_dataclass

@@ -520,6 +520,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dot_precision():
+    """MXU precision for the moment matmuls (static at trace time).
+
+    The membership weights are exact {0, 1} (bf16-representable), but a
+    default bf16 pass would round the FEATURE inputs to 8 mantissa bits —
+    ~2e-3 relative moment error vs the f64 oracle, far beyond the
+    1e-5-class parity target (BASELINE.md). HIGHEST = full-f32 passes.
+    DC_CELLWIN_PREC={default,high,highest} overrides for on-chip A/Bs.
+    """
+    import os
+
+    name = os.environ.get("DC_CELLWIN_PREC", "highest").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 def _span_iota(s, dtype=jnp.int32):
     return jax.lax.broadcasted_iota(dtype, (1, s), 1)
 
@@ -629,7 +644,8 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
                 feats = jnp.where((row >= lead) & (row < lead + ln),
                                   feats, 0.0)
                 acc_ref[:] = acc_ref[:] + jnp.dot(
-                    feats, wm, preferred_element_type=dt
+                    feats, wm, preferred_element_type=dt,
+                    precision=_dot_precision(),
                 )
 
         acc = acc_ref[:]
@@ -724,7 +740,8 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
                     (row >= lead) & (row < lead + ln), rt, 0.0
                 )  # (16, SR)
                 acc_ref[:] = acc_ref[:] + jnp.dot(
-                    rt_m, wm, preferred_element_type=dt
+                    rt_m, wm, preferred_element_type=dt,
+                    precision=_dot_precision(),
                 )
 
         acc = acc_ref[:]

@@ -68,7 +68,10 @@ def weighted_cov(
 
     # sum_k w_k x_k x_k^T as a batched matmul: (D, K) @ (K, D) hits the MXU.
     xw = xc * weights[..., None]
-    xx = jnp.einsum("...ki,...kj->...ij", xw, xc)
+    # precision: bf16 MXU passes would round the centered coordinates to
+    # 8 mantissa bits (see ops/se3.py PPREC).
+    xx = jnp.einsum("...ki,...kj->...ij", xw, xc,
+                    precision=jax.lax.Precision.HIGHEST)
 
     denom = w_sum - 1.0 if correction else w_sum
     denom = jnp.maximum(denom, 1e-6)

@@ -205,7 +205,8 @@ def _eigvals3_jvp(primals, tangents):
     V = eigvecs3(A, lams)  # (..., 3, 3), columns v_i
     # d lam_i = v_i^T dA v_i  (exact for simple eigenvalues; the stable
     # subgradient choice at degeneracies).
-    dlams = jnp.einsum("...ki,...kl,...li->...i", V, dA, V)
+    dlams = jnp.einsum("...ki,...kl,...li->...i", V, dA, V,
+                       precision=jax.lax.Precision.HIGHEST)
     return lams, dlams
 
 

@@ -26,6 +26,14 @@ __all__ = [
     "absolute_orientation",
 ]
 
+# TPU matmuls default to bfloat16 passes; on a 20 m scene that quantizes
+# rotated positions by ~1 cm (observed on the bench cloud: mean 9.6 mm,
+# max 84 mm vs the f32-exact product), swamping the mm-scale depth biases
+# this framework estimates. Every position-critical contraction pins full
+# f32 precision — these are K=3 contractions, so the extra MXU passes are
+# noise next to the neighborhood work.
+PPREC = jax.lax.Precision.HIGHEST
+
 
 def axis_angle_to_matrix(aa: jax.Array) -> jax.Array:
     """Rodrigues formula: (..., 3) axis-angle -> (..., 3, 3) rotation.
@@ -52,7 +60,7 @@ def axis_angle_to_matrix(aa: jax.Array) -> jax.Array:
         axis=-2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=PPREC)
     return eye + s[..., None, None] * K + c[..., None, None] * K2
 
 
@@ -134,7 +142,10 @@ def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply (..., 4, 4) transform to (..., N, 3) points (rotate + translate)."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return (
+        jnp.matmul(pts, jnp.swapaxes(R, -1, -2), precision=PPREC)
+        + t[..., None, :]
+    )
 
 
 def transform_inv(T: jax.Array) -> jax.Array:
@@ -144,14 +155,14 @@ def transform_inv(T: jax.Array) -> jax.Array:
     Rt = jnp.swapaxes(R, -1, -2)
     Ti = jnp.zeros_like(T)
     Ti = Ti.at[..., :3, :3].set(Rt)
-    Ti = Ti.at[..., :3, 3:].set(-Rt @ t)
+    Ti = Ti.at[..., :3, 3:].set(-jnp.matmul(Rt, t, precision=PPREC))
     Ti = Ti.at[..., 3, 3].set(1.0)
     return Ti
 
 
 def delta_transform(T0: jax.Array, T1: jax.Array) -> jax.Array:
     """Delta D such that T1 = T0 @ D (reference: utils.py:192-196)."""
-    return transform_inv(T0) @ T1
+    return jnp.matmul(transform_inv(T0), T1, precision=PPREC)
 
 
 def rotation_angle(T: jax.Array) -> jax.Array:
@@ -177,13 +188,13 @@ def absolute_orientation(x: jax.Array, y: jax.Array) -> jax.Array:
     d = x.shape[0]
     xm = x.mean(axis=1, keepdims=True)
     ym = y.mean(axis=1, keepdims=True)
-    M = (x - xm) @ (y - ym).T
+    M = jnp.matmul(x - xm, (y - ym).T, precision=PPREC)
     U, _, Vt = jnp.linalg.svd(M)
     # Proper rotation: flip the last singular direction if det < 0.
-    det = jnp.linalg.det((U @ Vt).T)
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision=PPREC).T)
     S = jnp.eye(d, dtype=x.dtype).at[-1, -1].set(jnp.sign(det))
-    R = (U @ S @ Vt).T
-    t = ym - R @ xm
+    R = jnp.matmul(jnp.matmul(U, S, precision=PPREC), Vt, precision=PPREC).T
+    t = ym - jnp.matmul(R, xm, precision=PPREC)
     T = jnp.eye(d + 1, dtype=x.dtype)
     T = T.at[:d, :d].set(R)
     T = T.at[:d, d:].set(t)

@@ -368,7 +368,9 @@ def corrected_poses(poses: jax.Array, pose_deltas: Optional[jax.Array]) -> jax.A
     deltas = xyz_axis_angle_to_matrix(pose_deltas.astype(poses.dtype))
     if deltas.shape[0] == 1 and poses.shape[0] != 1:
         deltas = jnp.broadcast_to(deltas, poses.shape)
-    return poses @ deltas
+    # full-f32 passes: a bf16 pose product perturbs positions ~1 cm at
+    # 20 m (ops/se3.py PPREC).
+    return jnp.matmul(poses, deltas, precision=jax.lax.Precision.HIGHEST)
 
 
 def global_cloud(

@@ -42,7 +42,10 @@ def _ransac_score(points, valid, key, thresh, num_hypotheses: int):
     ok = (norm[:, 0] > 1e-9) & jnp.all(valid[idx], axis=-1)
 
     # Distances: one matmul on the MXU, (N, 3) @ (3, H).
-    dist = jnp.abs(points @ normal.T + offset[None, :])  # (N, H)
+    dist = jnp.abs(
+        jnp.matmul(points, normal.T, precision=jax.lax.Precision.HIGHEST)
+        + offset[None, :]
+    )  # (N, H); full-f32 passes: bf16 would wobble cm-scale thresholds
     inlier = (dist <= thresh) & valid[:, None]
     counts = jnp.where(ok, jnp.sum(inlier, axis=0), -1)
     best = jnp.argmax(counts)
@@ -157,13 +160,21 @@ class Planes:
     def distance(self, points: jax.Array) -> jax.Array:
         """Signed plane-point distances (segmentation.py:103-110):
         (N, 3) @ (3, P) + d."""
-        return points @ self.params[:, :3].T + self.params[None, :, 3]
+        return (
+            jnp.matmul(points, self.params[:, :3].T,
+                       precision=jax.lax.Precision.HIGHEST)
+            + self.params[None, :, 3]
+        )
 
     def orient(self, vps: jax.Array) -> "Planes":
         """Flip normals toward the mean viewpoint side
         (segmentation.py:113-119)."""
         mean_side = jnp.mean(
-            jnp.sign(vps @ self.params[:, :3].T + self.params[None, :, 3]), axis=0
+            jnp.sign(
+                jnp.matmul(vps, self.params[:, :3].T,
+                           precision=jax.lax.Precision.HIGHEST)
+                + self.params[None, :, 3]
+            ), axis=0
         )
         flip = jnp.where(mean_side < 0.0, -1.0, 1.0)
         return self.replace(params=self.params * flip[:, None])

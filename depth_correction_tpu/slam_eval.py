@@ -59,8 +59,10 @@ def _icp_step(src_pts, src_valid, tgt_pts, tgt_normals, tgt_valid, inlier_ratio)
     r = jnp.sum(n * (q - src_pts), axis=-1)  # residual along target normal
     J = jnp.concatenate([jnp.cross(src_pts, n), n], axis=-1)  # (N, 6)
     Jw = J * w[:, None]
-    H = Jw.T @ J + 1e-9 * jnp.eye(6, dtype=src_pts.dtype)
-    g = Jw.T @ r
+    # Normal equations at full f32 (bf16 passes destabilize the 6x6 solve).
+    H = jnp.matmul(Jw.T, J, precision=jax.lax.Precision.HIGHEST) \
+        + 1e-9 * jnp.eye(6, dtype=src_pts.dtype)
+    g = jnp.matmul(Jw.T, r, precision=jax.lax.Precision.HIGHEST)
     dx = jnp.linalg.solve(H, g)
     # Twist -> SE(3): [rot, trans] ordering in J => [trans, rot] for our 6-vec.
     delta = xyz_axis_angle_to_matrix(jnp.concatenate([dx[3:], dx[:3]]))
@@ -78,7 +80,7 @@ def _icp_align_jit(src_pts, src_valid, tgt_pts, tgt_normals, tgt_valid,
         cur = transform_points(T, src_pts)
         delta, err = _icp_step(cur, src_valid, tgt_pts, tgt_normals, tgt_valid,
                                inlier_ratio)
-        return delta @ T, err
+        return jnp.matmul(delta, T, precision=jax.lax.Precision.HIGHEST), err
     if n_iters == 0:
         return T0, jnp.asarray(jnp.inf, T0.dtype)
     T, errs = jax.lax.scan(body, T0, None, length=n_iters)
