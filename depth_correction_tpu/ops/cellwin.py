@@ -520,19 +520,48 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _dot_precision():
-    """MXU precision for the moment matmuls (static at trace time).
+def _dot_mode() -> str:
+    """Precision mode for the moment matmuls (static at trace time).
 
-    The membership weights are exact {0, 1} (bf16-representable), but a
-    default bf16 pass would round the FEATURE inputs to 8 mantissa bits —
+    The membership weight matrix is exact {0, 1} (bf16-representable), but
+    a default bf16 MXU pass rounds the FEATURE operand to 8 mantissa bits —
     ~2e-3 relative moment error vs the f64 oracle, far beyond the
-    1e-5-class parity target (BASELINE.md). HIGHEST = full-f32 passes.
-    DC_CELLWIN_PREC={default,high,highest} overrides for on-chip A/Bs.
+    1e-5-class parity target (BASELINE.md); on the bench scene that bf16
+    noise inflated the loss itself 3.5x. Mosaic lowers only DEFAULT and
+    HIGHEST dot precisions, and HIGHEST measured 9810 ms/step (100x) on
+    v5e — so the default here is a manual SPLIT: the feature operand is
+    decomposed into bf16 components (hi + lo [+ lo2]) and each component
+    takes one DEFAULT bf16 pass against the EXACT weight matrix. Error
+    after k splits ~2^(-9k) relative (k=3 is below f32 rounding) at ~k
+    bf16-pass cost. DC_CELLWIN_PREC={default,split2,split3,highest}.
     """
     import os
 
-    name = os.environ.get("DC_CELLWIN_PREC", "highest").upper()
-    return getattr(jax.lax.Precision, name)
+    return os.environ.get("DC_CELLWIN_PREC", "split3").lower()
+
+
+def _moment_dot(a, b, dt):
+    """a @ b with f32-class accuracy on the MXU (see :func:`_dot_mode`).
+
+    ``b`` must be exactly bf16-representable (the {0,1} membership matrix);
+    only ``a`` is split.
+    """
+    mode = _dot_mode()
+    if mode == "default":
+        return jnp.dot(a, b, preferred_element_type=dt)
+    if mode == "highest":
+        return jnp.dot(a, b, preferred_element_type=dt,
+                       precision=jax.lax.Precision.HIGHEST)
+    n_split = {"split2": 2, "split3": 3}[mode]
+    out = None
+    rem = a
+    for _ in range(n_split - 1):
+        hi = rem.astype(jnp.bfloat16).astype(dt)
+        part = jnp.dot(hi, b, preferred_element_type=dt)
+        out = part if out is None else out + part
+        rem = rem - hi
+    # The MXU's own bf16 rounding of the final remainder IS the error term.
+    return out + jnp.dot(rem, b, preferred_element_type=dt)
 
 
 def _span_iota(s, dtype=jnp.int32):
@@ -643,10 +672,7 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
                 row = _span_iota(s_cap)
                 feats = jnp.where((row >= lead) & (row < lead + ln),
                                   feats, 0.0)
-                acc_ref[:] = acc_ref[:] + jnp.dot(
-                    feats, wm, preferred_element_type=dt,
-                    precision=_dot_precision(),
-                )
+                acc_ref[:] = acc_ref[:] + _moment_dot(feats, wm, dt)
 
         acc = acc_ref[:]
         s0 = acc[0:1, :]  # (1, R)
@@ -739,10 +765,7 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
                 rt_m = jnp.where(
                     (row >= lead) & (row < lead + ln), rt, 0.0
                 )  # (16, SR)
-                acc_ref[:] = acc_ref[:] + jnp.dot(
-                    rt_m, wm, preferred_element_type=dt,
-                    precision=_dot_precision(),
-                )
+                acc_ref[:] = acc_ref[:] + _moment_dot(rt_m, wm, dt)
 
         acc = acc_ref[:]
         # acc rows follow RT rows: 0-2 (qest sums, unused), 3-8 = S

@@ -49,8 +49,52 @@ def median_denoise_range_image(img, hit, size: int = 3):
     return jnp.where(hit & (count > 0), med, img)
 
 
-def scan_variants(scan, cfg, model):
-    """(raw, median-denoised, model-corrected) structured scans."""
+def external_denoise_range_image(img, hit, command: str, workdir: str,
+                                 scan_id: int = 0):
+    """Run an EXTERNAL denoiser over one range image via a subprocess
+    contract (the hookup the reference's compare_to_ddd study needs for the
+    DeepDepthDenoising net; reference scripts/compare_to_ddd:1-165).
+
+    Contract (``command`` is a format template):
+
+    - ``{input_npz}``: written by us — ``depth`` (H, W) float32 range image
+      (invalid pixels hold +inf) and ``hit`` (H, W) bool mask,
+    - ``{output_npz}``: the denoiser must write ``depth`` (H, W) float32 —
+      denoised ranges for hit pixels (misses are ignored).
+
+    ``scripts/stub_denoiser.py`` documents the contract end to end; point
+    the template at DDD's inference wrapper to reproduce the reference
+    study with real weights.
+    """
+    import shlex
+    import subprocess
+
+    os.makedirs(workdir, exist_ok=True)
+    in_npz = os.path.join(workdir, "range_%04d_in.npz" % scan_id)
+    out_npz = os.path.join(workdir, "range_%04d_out.npz" % scan_id)
+    np.savez(in_npz, depth=np.asarray(img, np.float32),
+             hit=np.asarray(hit, bool))
+    cmd = command.format(input_npz=in_npz, output_npz=out_npz)
+    subprocess.run(shlex.split(cmd), check=True)
+    if not os.path.exists(out_npz):
+        raise RuntimeError("external denoiser wrote no output: %s" % out_npz)
+    with np.load(out_npz) as z:
+        den = np.asarray(z["depth"], np.float32)
+    if den.shape != np.asarray(img).shape:
+        raise RuntimeError(
+            "denoiser output shape %s != input %s"
+            % (den.shape, np.asarray(img).shape)
+        )
+    import jax.numpy as jnp
+
+    return jnp.where(jnp.asarray(hit), jnp.asarray(den), jnp.asarray(img))
+
+
+def scan_variants(scan, cfg, model, denoiser_command=None, workdir=".",
+                  scan_id: int = 0):
+    """(raw, denoised, model-corrected) structured scans. The denoised
+    variant uses the external command when given, else the in-framework
+    median stand-in."""
     import jax.numpy as jnp
     from numpy.lib.recfunctions import (
         structured_to_unstructured as s2u,
@@ -65,7 +109,12 @@ def scan_variants(scan, cfg, model):
     pts = s2u(scan[["x", "y", "z"]], dtype=np.float64)
     valid = np.ones(len(pts), bool)
     img, hit = project_range_image(jnp.asarray(pts, jnp.float32), jnp.asarray(valid))
-    den = median_denoise_range_image(img, hit)
+    if denoiser_command:
+        den = external_denoise_range_image(
+            img, hit, denoiser_command, workdir, scan_id
+        )
+    else:
+        den = median_denoise_range_image(img, hit)
     pts_den, ok = unproject_range_image(den, hit)
     den_scan = u2s(np.asarray(pts_den)[np.asarray(ok)].astype(np.float64),
                    names=["x", "y", "z"])
@@ -85,6 +134,14 @@ def main(argv=None):
     p.add_argument("--dataset", default="open_box/n_4_size_12_12_4_height_1_density_60")
     p.add_argument("--out", default="gen/depth_denoising")
     p.add_argument("--model-w", type=float, default=-0.002)
+    p.add_argument(
+        "--denoiser-command",
+        default=None,
+        help="external denoiser template with {input_npz} and "
+        "{output_npz} (see external_denoise_range_image); replaces the "
+        "median stand-in — point it at DeepDepthDenoising's inference "
+        "wrapper to reproduce the reference's compare_to_ddd study",
+    )
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -116,8 +173,13 @@ def main(argv=None):
     # Build the three scan sets.
     raw, den = [], []
     poses = []
-    for scan, pose in ds:
-        r_scan, d_scan = scan_variants(scan, cfg, model)
+    for i, (scan, pose) in enumerate(ds):
+        r_scan, d_scan = scan_variants(
+            scan, cfg, model,
+            denoiser_command=args.denoiser_command,
+            workdir=os.path.join(args.out, "denoiser_io"),
+            scan_id=i,
+        )
         raw.append((r_scan, pose))
         den.append((d_scan, pose))
         poses.append(pose)
@@ -128,9 +190,11 @@ def main(argv=None):
     loss_raw = consistency_loss([_ListDS(raw)], cfg, model=None)
     loss_med = consistency_loss([_ListDS(den)], cfg, model=None)
     loss_corr = consistency_loss([_ListDS(raw)], cfg, model=model)
+    kind = "external-denoised" if args.denoiser_command else "median-denoised"
     print(
-        "map-consistency loss: raw %.6g, median-denoised %.6g, "
-        "corrected %.6g (%s)" % (loss_raw, loss_med, loss_corr, args.dataset)
+        "map-consistency loss: raw %.6g, %s %.6g, "
+        "corrected %.6g (%s)" % (loss_raw, kind, loss_med, loss_corr,
+                                 args.dataset)
     )
     os.makedirs(args.out, exist_ok=True)
     append(

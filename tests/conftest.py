@@ -30,3 +30,31 @@ jax.config.update(
     "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_dctpu_cpu")
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow",
+        action="store_true",
+        default=False,
+        help="run the slow tier too (full coverage; used by CI/nightly)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: >60 s guard/scale tests — skipped by default; run the full "
+        "tier with `pytest --slow` (or DC_SLOW_TESTS=1)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if config.getoption("--slow") or os.environ.get("DC_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -142,6 +142,7 @@ def test_grid_thin_slab_exact(thickness, axis):
     np.testing.assert_array_equal(counts, [len(s) for s in want])
 
 
+@pytest.mark.slow  # ~11 min on the 1-core sandbox (one guard, 26% of suite)
 def test_grid_huge_extent_coarsens_instead_of_raising():
     """A scene whose extent would need >= 2^31 cells auto-coarsens the cell
     size (exactness holds for any cell >= r) instead of raising."""
