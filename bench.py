@@ -235,10 +235,14 @@ def bench_ours(cfg, data):
     from depth_correction_tpu.models import ScaledPolynomial
     from depth_correction_tpu.train import make_loss_fn
 
+    from depth_correction_tpu.train import bind_cellwin_static
+
     device = jax.devices()[0]
     print("[bench] step device: %s" % device, file=sys.stderr)
     data = to_device(data, device)
     loss_fn = make_loss_fn(cfg)
+    # Cell-window graphs ride the closure (35-220x vs jit arguments).
+    loss_fn, data = bind_cellwin_static(loss_fn, data)
     params = {"model": ScaledPolynomial(w=jnp.zeros(1),
                                         exponent=jnp.asarray([4.0]))}
     params = to_device(params, device)
@@ -423,25 +427,27 @@ def run_mode(uncapped: bool):
     print("[bench] %s ours: %.3f ms/step" % (mode, ours_ms), file=sys.stderr)
 
     n_full = int(np.asarray(full_nn).shape[0])
-    ref_ms, loss0_ref, w6_ref = bench_torch_baseline(cfg, data,
-                                                     full_nn=full_nn)
+    ref_ms, _loss0_full, _w6_full = bench_torch_baseline(cfg, data,
+                                                         full_nn=full_nn)
     print(
         "[bench] %s torch-cpu f64 baseline, reference semantics "
         "(all %d rows; median): %.3f ms/step"
         % (mode, n_full, ref_ms),
         file=sys.stderr,
     )
-    opt_ms, _, _ = bench_torch_baseline(cfg, data)
+    opt_ms, loss0_ref, w6_ref = bench_torch_baseline(cfg, data)
     print(
         "[bench] %s torch-cpu f64 optimized variant (our compaction, "
         "%d rows; median): %.3f ms/step" % (mode, n_query, opt_ms),
         file=sys.stderr,
     )
 
-    # Parity on the measured workload: the torch reference baseline masks
-    # the same loss rows on the same frozen graph, so its w=0 loss is the
-    # f64 oracle for ours (f32 TPU). w after 6 identical Adam(2e-4) steps
-    # probes gradient agreement through the optimizer.
+    # Parity on the measured workload, from the OPTIMIZED torch variant:
+    # it consumes the same compacted rows, weights, and masks as our step
+    # (the reference-semantics baseline masks only by neighbor count, so
+    # its row set differs by the eigenvalue-ratio mask), making its f64
+    # w=0 loss the oracle for ours (f32 TPU). w after 6 identical
+    # Adam(2e-4) steps probes gradient agreement through the optimizer.
     loss_rel = abs(loss0_ours - loss0_ref) / max(abs(loss0_ref), 1e-30)
     w_rel = abs(w6_ours - w6_ref) / max(abs(w6_ref), 1e-30)
     print(

@@ -125,6 +125,10 @@ def joint_learning(
         params["pose_deltas"] = deltas
 
     loss_fn = make_loss_fn(cfg, loss_fun=create_loss(cfg))
+    from .train import bind_cellwin_static
+
+    # Cell-window graphs (if any) ride the closure (35-220x vs arguments).
+    loss_fn, data = bind_cellwin_static(loss_fn, data)
     tx = make_optimizer(cfg)
     gmask = _grad_mask(params, cfg)
     opt_state = tx.init(params)

@@ -42,6 +42,10 @@ def sweep_weight(
     )
     w0 = jnp.asarray(np.asarray(base.w), dtype=cfg.jax_float_type())
     loss_fn = make_loss_fn(cfg)
+    from .train import bind_cellwin_static
+
+    # Cell-window graphs (if any) ride the closure (35-220x vs arguments).
+    loss_fn, data = bind_cellwin_static(loss_fn, data)
 
     def at(w_scalar, d):
         w = w0.at[weight_index].set(w_scalar)
@@ -49,9 +53,10 @@ def sweep_weight(
         return loss_fn({"model": model}, d)
 
     grid = jnp.asarray(np.asarray(weights), dtype=cfg.jax_float_type())
-    # The TrainData tables flow through the jit boundary as ARGUMENTS —
-    # captured as closure constants they get literal-pooled into the HLO
-    # (~7000x slower on TPU, HTTP 413 from the remote compiler; CLAUDE.md).
+    # The (gather) TrainData tables flow through the jit boundary as
+    # ARGUMENTS — captured as closure constants they get literal-pooled
+    # into the HLO (~7000x slower on TPU, HTTP 413 from the remote
+    # compiler; CLAUDE.md).
     losses = jax.jit(
         lambda g, d: jax.vmap(lambda w: at(w, d))(g)
     )(grid, data)

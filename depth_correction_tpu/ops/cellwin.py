@@ -553,10 +553,23 @@ def _moment_dot(a, b, dt):
         return jnp.dot(a, b, preferred_element_type=dt,
                        precision=jax.lax.Precision.HIGHEST)
     n_split = {"split2": 2, "split3": 3}[mode]
+
+    def hi_bits(x):
+        # bf16-truncation via integer mantissa masking: rem = x - hi is
+        # exact, and hi is exactly bf16-representable so the MXU's bf16
+        # pass rounds it losslessly. Mosaic lowers the integer ops cheaply
+        # where its f32<->bf16 casts measured pathologically slow.
+        if dt != jnp.float32:
+            return x.astype(jnp.bfloat16).astype(dt)  # interpret/f64 tests
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.int32) & jnp.int32(-65536),
+            jnp.float32,
+        )
+
     out = None
     rem = a
     for _ in range(n_split - 1):
-        hi = rem.astype(jnp.bfloat16).astype(dt)
+        hi = hi_bits(rem)
         part = jnp.dot(hi, b, preferred_element_type=dt)
         out = part if out is None else out + part
         rem = rem - hi
@@ -589,7 +602,7 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
     """
 
     def kernel(start_ref, lead_ref, len_ref, ctr_ref, c_ref, q_ref, out_ref,
-               win_ref, acc_ref, sems):
+               win_ref, sems):
         t = pl.program_id(0)
         # Launch every non-empty span DMA up front; waits interleave with
         # compute. Empty spans (clipped window columns on grid edges) skip
@@ -619,16 +632,21 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
         qy = q[1:2, :] - cy
         qz = q[2:3, :] - cz
 
-        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        # Only the DMA *wait* is conditional (waiting a never-started copy
+        # would hang); the dense d2/matmul runs UNCONDITIONALLY with empty
+        # spans (ln == 0) mask-selected to exact zeros. Conditional
+        # (pl.when-guarded) matmul regions defeat Mosaic's fast lowering
+        # of every f32-accuracy dot variant — measured on v5e: HIGHEST
+        # 9810 ms/step, hi/lo splits 5.3-47 s/step under pl.when vs
+        # probe-parity (~a few ms) unconditional
+        # (scripts/exp_mosaic_dot_probe*.py).
+        acc = jnp.zeros((16, q.shape[1]), dt)
         for s in range(ns):
             ln = len_ref[t * ns + s]
             lead = lead_ref[t * ns + s]
 
-            # Empty spans (clipped window columns — on single-y tiles 6 of
-            # the NS=15 static slots) skip the DMA wait AND the dense
-            # d2/matmul entirely.
             @pl.when(ln > 0)
-            def _(s=s, ln=ln, lead=lead):
+            def _(s=s):
                 pltpu.make_async_copy(
                     c_ref.at[
                         :,
@@ -638,43 +656,42 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
                     win_ref.at[s],
                     sems.at[s],
                 ).wait()
-                w8 = win_ref[s]  # (8, S): cur(3), est(3), 0, 0
-                col = _span_iota_col(s_cap)
-                sl = (col >= lead) & (col < lead + ln)  # (S, 1)
-                # (S, 1) shifted est window coords for the broadcast d2
-                ex = (w8[3:4, :] - cx).reshape(s_cap, 1)
-                ey = (w8[4:5, :] - cy).reshape(s_cap, 1)
-                ez = (w8[5:6, :] - cz).reshape(s_cap, 1)
-                dx = ex - qx  # (S, R)
-                dy = ey - qy
-                dz = ez - qz
-                d2 = dx * dx + dy * dy + dz * dz
-                wm = jnp.where(
-                    (d2 <= r2) & sl,
-                    jnp.asarray(1.0, dt),
-                    jnp.asarray(0.0, dt),
-                )  # (S, R)
-                x0 = w8[0:1, :] - cx  # (1, S) shifted CURRENT coords
-                x1 = w8[1:2, :] - cy
-                x2 = w8[2:3, :] - cz
-                one = jnp.ones_like(x0)
-                zero = jnp.zeros_like(x0)
-                feats = jnp.concatenate(
-                    [one, x0, x1, x2, x0 * x0, x1 * x1, x2 * x2,
-                     x0 * x1, x0 * x2, x1 * x2,
-                     zero, zero, zero, zero, zero, zero],
-                    axis=0,
-                )  # (16, S)
-                # Zero the feature columns outside [lead, lead + len): stale
-                # window content (skipped DMAs, previous tiles, lead slots)
-                # can hold sentinels or uninitialized bits, and 0 * inf =
-                # NaN would poison acc even through a zero weight row.
-                row = _span_iota(s_cap)
-                feats = jnp.where((row >= lead) & (row < lead + ln),
-                                  feats, 0.0)
-                acc_ref[:] = acc_ref[:] + _moment_dot(feats, wm, dt)
-
-        acc = acc_ref[:]
+            w8 = win_ref[s]  # (8, S): cur(3), est(3), 0, 0
+            col = _span_iota_col(s_cap)
+            sl = (col >= lead) & (col < lead + ln)  # (S, 1); empty if ln=0
+            # (S, 1) shifted est window coords for the broadcast d2
+            ex = (w8[3:4, :] - cx).reshape(s_cap, 1)
+            ey = (w8[4:5, :] - cy).reshape(s_cap, 1)
+            ez = (w8[5:6, :] - cz).reshape(s_cap, 1)
+            dx = ex - qx  # (S, R)
+            dy = ey - qy
+            dz = ez - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            wm = jnp.where(
+                (d2 <= r2) & sl,
+                jnp.asarray(1.0, dt),
+                jnp.asarray(0.0, dt),
+            )  # (S, R); stale-window NaN/inf d2 compares False -> 0
+            x0 = w8[0:1, :] - cx  # (1, S) shifted CURRENT coords
+            x1 = w8[1:2, :] - cy
+            x2 = w8[2:3, :] - cz
+            one = jnp.ones_like(x0)
+            zero = jnp.zeros_like(x0)
+            feats = jnp.concatenate(
+                [one, x0, x1, x2, x0 * x0, x1 * x1, x2 * x2,
+                 x0 * x1, x0 * x2, x1 * x2,
+                 zero, zero, zero, zero, zero, zero],
+                axis=0,
+            )  # (16, S)
+            # Zero the feature columns outside [lead, lead + len): stale
+            # window content (skipped DMAs, previous tiles, lead slots)
+            # can hold sentinels or uninitialized bits, and 0 * inf = NaN
+            # would poison acc even through a zero weight row (selects,
+            # unlike multiplies, stop NaN).
+            row = _span_iota(s_cap)
+            feats = jnp.where((row >= lead) & (row < lead + ln),
+                              feats, 0.0)
+            acc = acc + _moment_dot(feats, wm, dt)
         s0 = acc[0:1, :]  # (1, R)
         s0c = jnp.maximum(s0, 1e-12)
         m0 = acc[1:2, :] / s0c  # shifted mean components
@@ -706,7 +723,7 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
     """
 
     def kernel(start_ref, lead_ref, len_ref, ctr_ref, rt_ref, c_ref, out_ref,
-               win_ref, acc_ref, sems):
+               win_ref, sems):
         t = pl.program_id(0)
         for s in range(ns):
             @pl.when(len_ref[t * ns + s] > 0)
@@ -730,13 +747,16 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
         ey = x[4:5, :] - cy
         ez = x[5:6, :] - cz
 
-        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        # Conditional wait, UNCONDITIONAL masked compute — see the forward
+        # kernel's comment (pl.when-guarded matmuls defeat Mosaic's fast
+        # lowering of the f32-accuracy dot variants).
+        acc = jnp.zeros((16, x.shape[1]), dt)
         for s in range(ns):
             ln = len_ref[t * ns + s]
             lead = lead_ref[t * ns + s]
 
             @pl.when(ln > 0)
-            def _(s=s, ln=ln, lead=lead):
+            def _(s=s):
                 pltpu.make_async_copy(
                     rt_ref.at[
                         :,
@@ -746,28 +766,26 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
                     win_ref.at[s],
                     sems.at[s],
                 ).wait()
-                rt = win_ref[s]  # (16, SR): qest(3), s6(6), u(3), 0...
-                col = _span_iota_col(sr_cap)
-                sl = (col >= lead) & (col < lead + ln)  # (SR, 1)
-                qx = (rt[0:1, :] - cx).reshape(sr_cap, 1)
-                qy = (rt[1:2, :] - cy).reshape(sr_cap, 1)
-                qz = (rt[2:3, :] - cz).reshape(sr_cap, 1)
-                dx = qx - ex  # (SR, P)
-                dy = qy - ey
-                dz = qz - ez
-                d2 = dx * dx + dy * dy + dz * dz
-                wm = jnp.where(
-                    (d2 <= r2) & sl,
-                    jnp.asarray(1.0, dt),
-                    jnp.asarray(0.0, dt),
-                )  # (SR, P)
-                row = _span_iota(sr_cap)
-                rt_m = jnp.where(
-                    (row >= lead) & (row < lead + ln), rt, 0.0
-                )  # (16, SR)
-                acc_ref[:] = acc_ref[:] + _moment_dot(rt_m, wm, dt)
-
-        acc = acc_ref[:]
+            rt = win_ref[s]  # (16, SR): qest(3), s6(6), u(3), 0...
+            col = _span_iota_col(sr_cap)
+            sl = (col >= lead) & (col < lead + ln)  # (SR, 1)
+            qx = (rt[0:1, :] - cx).reshape(sr_cap, 1)
+            qy = (rt[1:2, :] - cy).reshape(sr_cap, 1)
+            qz = (rt[2:3, :] - cz).reshape(sr_cap, 1)
+            dx = qx - ex  # (SR, P)
+            dy = qy - ey
+            dz = qz - ez
+            d2 = dx * dx + dy * dy + dz * dz
+            wm = jnp.where(
+                (d2 <= r2) & sl,
+                jnp.asarray(1.0, dt),
+                jnp.asarray(0.0, dt),
+            )  # (SR, P)
+            row = _span_iota(sr_cap)
+            rt_m = jnp.where(
+                (row >= lead) & (row < lead + ln), rt, 0.0
+            )  # (16, SR)
+            acc = acc + _moment_dot(rt_m, wm, dt)
         # acc rows follow RT rows: 0-2 (qest sums, unused), 3-8 = S
         # components (s00, s11, s22, s01, s02, s12), 9-11 = u.
         x0 = x[0:1, :]  # CURRENT global coords (1, P)
@@ -811,7 +829,6 @@ def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len, f_ctr,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NS, 8, s_cap), dt),
-            pltpu.VMEM((16, r_cap), dt),
             pltpu.SemaphoreType.DMA((NS,)),
         ],
     )
@@ -859,7 +876,6 @@ def _bwd_call(pts_sorted, q_est, est_sorted, table9, b_start, b_lead, b_len,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NS, 16, sr_cap), dt),
-            pltpu.VMEM((16, p_cap), dt),
             pltpu.SemaphoreType.DMA((NS,)),
         ],
     )

@@ -41,6 +41,7 @@ from .preproc import (
 from .utils.checkpoint import save_pytree
 
 __all__ = ["TrainCallbacks", "TrainData", "train", "prepare_sequences", "make_loss_fn",
+           "bind_cellwin_static",
            "init_pose_deltas", "make_optimizer"]
 
 
@@ -582,6 +583,33 @@ class FeatureRows:
         return dataclasses.replace(self, **kw)
 
 
+def bind_cellwin_static(loss_fn, data):
+    """Close the frozen cell-window graphs over the loss fn.
+
+    CellWinDevice tables passed as jit ARGUMENTS trigger a pathological
+    lowering of the Pallas moment kernels (measured on v5e: 2.4-14.5
+    s/step argument-passed vs 65 ms with the graphs as trace-time
+    constants — the INVERSE of the gather path's literal-pooling rule,
+    see make_loss_fn). The graphs are static establishment data, so
+    closing over them costs one compile per training run and ~30 MB of
+    executable constants at bench scale.
+
+    :return: ``(loss_fn', data')`` — ``data'`` carries no cellwin graphs;
+        ``loss_fn'(params, data')`` computes the identical objective. A
+        no-op passthrough when ``data`` has no cellwin graphs.
+    """
+    cw = tuple(getattr(data, "cellwin", ()) or ())
+    if not any(c is not None for c in cw):
+        return loss_fn, data
+    stripped = dataclasses.replace(data, cellwin=())
+
+    def bound(params, d=None):
+        d = stripped if d is None else d
+        return loss_fn(params, dataclasses.replace(d, cellwin=cw))
+
+    return bound, stripped
+
+
 def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
     """Loss of (model, pose_deltas) over all sequences — the jit target.
 
@@ -592,7 +620,9 @@ def make_loss_fn(data_or_cfg, cfg: Config = None, loss_fun=None):
     Returns ``loss_fn(params, data)``. The static arrays MUST flow through
     the jit parameter (not a closure): XLA embeds large closure constants as
     literals, which measured ~7000x slower on TPU for the gather-heavy
-    feature chain.
+    feature chain. EXCEPTION: the cell-window graphs must go the OTHER way
+    — wrap with :func:`bind_cellwin_static` before jitting (argument-passed
+    CellWinDevice tables measured 35-220x slower than closure constants).
 
     Accepts either ``make_loss_fn(cfg)`` or the legacy
     ``make_loss_fn(data, cfg)`` (where the returned function may still be
@@ -941,6 +971,11 @@ def train(
         train_loss_fn = make_sharded_loss_fn(train_data, cfg, mesh)
     else:
         train_loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
+        # Cell-window graphs ride the closure, not the jit arguments
+        # (35-220x, see bind_cellwin_static).
+        train_loss_fn, train_data = bind_cellwin_static(
+            train_loss_fn, train_data
+        )
     tx = make_optimizer(cfg)
     gmask = _grad_mask(params, cfg)
     opt_state = tx.init(params)
@@ -957,6 +992,9 @@ def train(
             val_loss_core = make_sharded_loss_fn(val_data, cfg, mesh)
         else:
             val_loss_core = make_loss_fn(cfg, loss_fun=loss_fun)
+            val_loss_core, val_data = bind_cellwin_static(
+                val_loss_core, val_data
+            )
         if cfg.pose_correction in (PoseCorrection.sequence, PoseCorrection.pose):
             val_params = {"pose_deltas": init_pose_deltas(val_data, cfg)}
             val_tx = make_optimizer(cfg)

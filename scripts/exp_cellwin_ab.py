@@ -33,15 +33,20 @@ def main():
     # does not stick — force the platform via config (CLAUDE.md).
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser(
-            "~/.cache/jax_dctpu_tpu"
-            if jax.default_backend() == "tpu"
-            else "~/.cache/jax_dctpu_cpu"
-        ),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not os.environ.get("DC_NO_COMPILE_CACHE"):
+        # DC_NO_COMPILE_CACHE=1 forces fresh compiles — Mosaic lowering of
+        # the cellwin kernels measured BIMODAL (the same MLIR compiled
+        # either ~4 ms or ~8 s per 512 tiles across runs), and the
+        # persistent cache would pin whichever binary the first run got.
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser(
+                "~/.cache/jax_dctpu_tpu"
+                if jax.default_backend() == "tpu"
+                else "~/.cache/jax_dctpu_cpu"
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
 
@@ -225,6 +230,10 @@ def main():
             lambda x: jax.device_put(x, device), data
         )
         loss_fn = make_loss_fn(cfg)
+        from depth_correction_tpu.train import bind_cellwin_static
+
+        # Cell-window graphs ride the closure (35-220x vs jit arguments).
+        loss_fn, data = bind_cellwin_static(loss_fn, data)
         params = {
             "model": ScaledPolynomial(
                 w=jnp.zeros(1), exponent=jnp.asarray([4.0])

@@ -308,3 +308,41 @@ def test_cellwin_under_mesh_fails_loudly(tmp_path):
         sharded = shard_train_data(data, mesh)
     assert any("cellwin" in str(w.message) for w in caught)
     assert not any(c is not None for c in (sharded.cellwin or ()))
+
+
+def test_bind_cellwin_static_identity(tmp_path):
+    """bind_cellwin_static: stripped data + closure graphs == original
+    objective (value and model gradient)."""
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.train import (
+        bind_cellwin_static,
+        make_loss_fn,
+        prepare_sequences,
+    )
+
+    cfg = _tiny_cfg(tmp_path, "cellwin")
+    ds = create_dataset(cfg.train_names[0], cfg)
+    data = prepare_sequences([ds], cfg)
+    assert data.cellwin[0] is not None
+    loss_fn = make_loss_fn(cfg)
+    params = {
+        "model": ScaledPolynomial(
+            w=jnp.asarray([-1e-3]), exponent=jnp.asarray([4.0])
+        )
+    }
+    ref_v, ref_g = jax.value_and_grad(lambda p: loss_fn(p, data))(params)
+
+    bound, stripped = bind_cellwin_static(loss_fn, data)
+    assert not any(c is not None for c in (stripped.cellwin or ()))
+    v, g = jax.jit(jax.value_and_grad(bound))(params, stripped)
+    # jit-vs-eager reassociation leaves ~1e-11 relative noise
+    np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-9)
+    np.testing.assert_allclose(
+        float(np.asarray(g["model"].w)[0]),
+        float(np.asarray(ref_g["model"].w)[0]),
+        rtol=1e-8,
+    )
+    # no-op passthrough without graphs
+    f2, d2 = bind_cellwin_static(loss_fn, stripped)
+    assert f2 is loss_fn and d2 is stripped
