@@ -204,9 +204,13 @@ def _eigvals3_jvp(primals, tangents):
     lams = _eigvals3_impl(A)
     V = eigvecs3(A, lams)  # (..., 3, 3), columns v_i
     # d lam_i = v_i^T dA v_i  (exact for simple eigenvalues; the stable
-    # subgradient choice at degeneracies).
-    dlams = jnp.einsum("...ki,...kl,...li->...i", V, dA, V,
-                       precision=jax.lax.Precision.HIGHEST)
+    # subgradient choice at degeneracies). ELEMENTWISE on purpose: an
+    # einsum here lowers to ~231k-batched 3x3 MXU matmuls whose K pads to
+    # 128 lanes (and full-f32 passes multiply that again — measured ~+30
+    # ms/step on the bench backward); broadcast-multiply-reduce rides the
+    # VPU at full f32 precision for free.
+    t = (V[..., :, None, :] * dA[..., :, :, None]).sum(-3)  # t_li = dA^T V
+    dlams = (t * V).sum(-2)  # (..., 3)
     return lams, dlams
 
 

@@ -256,8 +256,11 @@ def _pair_widths(max_deg: int, min_width: int = 8):
 # (pairs, 9) index-major order with the 9-wide minor dim lane-padded to 128
 # (observed on v5e: one 45M-pair bucket became a 23 GB buffer and OOMed the
 # chip); parts at the few-M-pair scale fuse like the capped-graph buckets
-# that measured at the gather bound.
-_BUCKET_PAIRS_MAX = 2_000_000
+# that measured at the gather bound. DC_BUCKET_PAIRS_MAX overrides (A/B
+# knob: the split trades per-part overhead against materialization risk).
+import os as _os
+
+_BUCKET_PAIRS_MAX = int(_os.environ.get("DC_BUCKET_PAIRS_MAX", 2_000_000))
 
 
 def _bucket_row_parts(rows_b, ktb):
