@@ -84,6 +84,10 @@ def main(argv=None):
     )
 
     loss_fn = make_loss_fn(cfg)
+    from depth_correction_tpu.train import bind_cellwin_static
+
+    # Cell-window graphs (if any) ride the closure (35-220x vs args).
+    loss_fn, data = bind_cellwin_static(loss_fn, data)
     params = {"model": ScaledPolynomial(w=jnp.zeros(1), exponent=jnp.asarray([4.0]))}
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
