@@ -184,8 +184,8 @@ class Config(Configurable):
         # falls back to 'gather' when ineligible (plane mode, nn_scale,
         # kNN graphs, meshes, spatial_sort) or when the build declines.
         # 'auto' (default) selects cellwin on the TPU backend when the
-        # config is already uncapped-radius and eligible (measured 5.1x:
-        # 97.3 vs 496.5 ms/step on the bench graph, v5e), gather otherwise
+        # config is already uncapped-radius and eligible (measured 8.7x:
+        # 57.4 vs 496.5 ms/step on the bench graph, v5e), gather otherwise
         # — auto never changes the objective.
         self.moments_backend = "auto"
         # cellwin tile z-extent limit in cells (None = unlimited): small

@@ -77,8 +77,9 @@ class CellWinGraph:
     n_row_tiles: int
     row_cap: int  # R
     span_cap: int  # S
-    f_span_start: np.ndarray  # (T, NS) int32 into the padded point axis
-    f_span_len: np.ndarray  # (T, NS) int32
+    ns_f: int  # mini-span slots per row tile
+    f_span_start: np.ndarray  # (T, ns_f) int32 into the padded point axis
+    f_span_len: np.ndarray  # (T, ns_f) int32
     f_tile_ctr: np.ndarray  # (T, 3) float32
     q_est: np.ndarray  # (8, mq_pad) float32 rows [est x,y,z, 0, ...]
     row_map: np.ndarray  # (mq_pad,) int32 -> original compacted row / -1
@@ -86,8 +87,9 @@ class CellWinGraph:
     n_pt_tiles: int
     pt_cap: int  # P
     rspan_cap: int  # SR
-    b_span_start: np.ndarray  # (T2, NS) int32 into the padded row axis
-    b_span_len: np.ndarray  # (T2, NS) int32
+    ns_b: int  # mini-span slots per point tile
+    b_span_start: np.ndarray  # (T2, ns_b) int32 into the padded row axis
+    b_span_len: np.ndarray  # (T2, ns_b) int32
     b_tile_ctr: np.ndarray  # (T2, 3) float32
     # padded point layout
     perm: np.ndarray  # (m_pad,) int32 -> original point index (0 on pad)
@@ -223,6 +225,63 @@ def _window_spans_max(starts, dims, cx, ylo, yhi, zlo, zhi) -> int:
     return int((starts[base + z1 + 1] - starts[base + z0]).max(initial=0))
 
 
+def _decompose_minispans(st: np.ndarray, ln: np.ndarray,
+                         budget: Optional[int] = None):
+    """Raw window spans -> 128-col MINI-SPAN tables.
+
+    Every output entry satisfies ``start % 128 + len <= 128``, so the
+    kernels' span caps become exactly 128 lanes: the dense per-slot
+    d2/matmul work shrinks to the data actually present (the raw geometric
+    spans average ~61 of a 640-cap on the bench graph — ~90% of the dense
+    compute was masked padding). Mini-spans of one tile stay ascending and
+    disjoint (the audit's searchsorted relies on it).
+
+    :param budget: max mini-spans per tile; tiles needing more get ALL
+        their spans zeroed (the exactness audit then routes their rows
+        through the gather path). None = size to the densest tile.
+    :return: (starts, lens, n_slots, n_over_budget).
+    """
+    t_dim = st.shape[0]
+    per_tile = []
+    for t in range(t_dim):
+        mini = []
+        for s in range(st.shape[1]):
+            length = int(ln[t, s])
+            if length <= 0:
+                continue
+            start = int(st[t, s])
+            first = 128 - start % 128
+            mini.append((start, min(length, first)))
+            off = first
+            while off < length:
+                mini.append((start + off, min(length - off, 128)))
+                off += 128
+        per_tile.append(mini)
+    max_nb = max((len(m) for m in per_tile), default=1)
+    nb = max_nb if budget is None else min(max_nb, budget)
+    nb = max(nb, 1)
+    starts = np.zeros((t_dim, nb), np.int64)
+    lens = np.zeros((t_dim, nb), np.int64)
+    n_over = 0
+    for t, mini in enumerate(per_tile):
+        if len(mini) > nb:
+            n_over += 1
+            continue
+        for j, (s0, l0) in enumerate(mini):
+            starts[t, j] = s0
+            lens[t, j] = l0
+    return starts, lens, nb, n_over
+
+
+def _note(msg: str) -> None:
+    """Build-time diagnostic (stderr) under DC_CELLWIN_DEBUG=1."""
+    import os
+    import sys
+
+    if os.environ.get("DC_CELLWIN_DEBUG"):
+        print("[cellwin] %s" % msg, file=sys.stderr)
+
+
 def _dense_starts(lin_sorted: np.ndarray, n_cells: int) -> np.ndarray:
     """Cumulative bucket starts (n_cells + 1) of a sorted linear-id array
     (ids >= n_cells — the invalid-item sentinel — fall past the end)."""
@@ -241,6 +300,7 @@ def build_cellwin_graph(
     eps_rel: float = 2e-5,
     max_exc_frac: float = 0.05,
     z_max: Optional[int] = None,
+    f_slot_budget: int = 16,
 ) -> Optional[CellWinGraph]:
     """Build the static cell-window graph, or None when ineligible.
 
@@ -260,6 +320,9 @@ def build_cellwin_graph(
         ~r^2, i.e. ~1e-7 relative); 2e-5 gives two orders of margin while
         keeping the exception-row fraction low on dense graphs.
     :param z_max: tile z-extent limit in cells (see _build_tiles).
+    :param f_slot_budget: max forward mini-spans per row tile; over-budget
+        tiles degrade to the gather exception path (p99 of the bench
+        distribution is 16, so the default exceptions ~1% of rows).
     """
     est_points = np.asarray(est_points, np.float64)
     # The kernels read establishment positions quantized to float32 at
@@ -394,10 +457,17 @@ def build_cellwin_graph(
     )
     q_est[:3, ~sel] = -1e15
 
-    # Lane-aligned span caps. Mosaic requires the DMA's dynamic lane-dim
-    # source offset to be 128-divisible (probed on v5e), so the kernels DMA
-    # from ``start - start % 128`` and mask off the lead slots; the cap must
-    # therefore hold lead + length.
+    # 128-col mini-spans: every slot's dense work is one (128, R) tile
+    # instead of a span_limit-wide window that averaged ~10% occupancy.
+    # Over-budget row tiles (needing > f_block_budget slots; ~1% on the
+    # bench graph) zero out and their rows route through the gather path.
+    f_span_start, f_span_len, ns_f, n_over_f = _decompose_minispans(
+        f_span_start, f_span_len, budget=f_slot_budget
+    )
+    # Lane-aligned span cap (128 by construction: mini-spans satisfy
+    # start % 128 + len <= 128; Mosaic needs 128-divisible dynamic DMA
+    # offsets, so the kernels DMA from start - start % 128 and mask the
+    # lead — the cap holds lead + length).
     span_cap = int(max((f_span_start % 128 + f_span_len).max(initial=1), 1))
     span_cap = -(-span_cap // 128) * 128
 
@@ -415,10 +485,18 @@ def build_cellwin_graph(
         b_tile_ctr[t] = mins + cell * np.array(
             [cx + 0.5, (ylo + yhi + 1) * 0.5, (zlo + zhi + 1) * 0.5]
         )
+    # Backward mini-spans are sized to the densest point tile (a point's
+    # gradient cannot route through exceptions, so no budget) — decline
+    # only on a pathological slot count.
+    b_span_start, b_span_len, ns_b, _ = _decompose_minispans(
+        b_span_start, b_span_len, budget=None
+    )
+    if ns_b > 40:
+        _note("declined: ns_b=%d > 40 (pathological backward slot count)"
+              % ns_b)
+        return None
     rspan_cap = int(max((b_span_start % 128 + b_span_len).max(initial=1), 1))
     rspan_cap = -(-rspan_cap // 128) * 128
-    if rspan_cap > 2 * span_limit + 256:
-        return None
 
     # ---- exactness audit: simulate the kernel membership in f64 ----
     # For every row, membership over its tile window must equal the frozen
@@ -433,7 +511,7 @@ def build_cellwin_graph(
     for t, (a, b, cx, ylo, yhi, zlo, zhi) in enumerate(row_tiles):
         st, ln = f_span_start[t], f_span_len[t]
         w_idx = np.concatenate(
-            [np.arange(st[s], st[s] + ln[s]) for s in range(NS) if ln[s] > 0]
+            [np.arange(st[s], st[s] + ln[s]) for s in range(ns_f) if ln[s] > 0]
         ) if ln.max(initial=0) > 0 else np.zeros(0, np.int64)
         q = est_f32[rows_sorted[a:b]]  # (kk, 3) f32-rounded, f64 math
         if w_idx.size:
@@ -470,6 +548,13 @@ def build_cellwin_graph(
 
     n_exc = int(exc.sum())
     if n_exc > max_exc_frac * mq_real:
+        _note(
+            "declined: %d/%d exception rows (%.2f%% > %.2f%%); "
+            "%d over-budget row tiles" % (
+                n_exc, mq_real, 100.0 * n_exc / mq_real,
+                100.0 * max_exc_frac, n_over_f,
+            )
+        )
         return None
     if n_exc:
         exc_slots = slot_of_sorted_row[exc]
@@ -483,6 +568,7 @@ def build_cellwin_graph(
         n_row_tiles=t1,
         row_cap=row_cap,
         span_cap=span_cap,
+        ns_f=ns_f,
         f_span_start=f_span_start.astype(np.int32),
         f_span_len=f_span_len.astype(np.int32),
         f_tile_ctr=f_tile_ctr.astype(np.float32),
@@ -491,6 +577,7 @@ def build_cellwin_graph(
         n_pt_tiles=t2,
         pt_cap=pt_cap,
         rspan_cap=rspan_cap,
+        ns_b=ns_b,
         b_span_start=b_span_start.astype(np.int32),
         b_span_len=b_span_len.astype(np.int32),
         b_tile_ctr=b_tile_ctr.astype(np.float32),
@@ -803,7 +890,7 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
 
 
 def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len, f_ctr,
-              *, t1, r_cap, s_cap, r2):
+              *, t1, r_cap, s_cap, ns_f, r2):
     """Run the forward kernel: returns the raw (16, mq_pad) output."""
     m_pad = pts_sorted.shape[0]
     dt = pts_sorted.dtype
@@ -828,12 +915,12 @@ def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len, f_ctr,
         out_specs=pl.BlockSpec((16, r_cap), lambda t, *_: (0, t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NS, 8, s_cap), dt),
-            pltpu.SemaphoreType.DMA((NS,)),
+            pltpu.VMEM((ns_f, 8, s_cap), dt),
+            pltpu.SemaphoreType.DMA((ns_f,)),
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel(NS, s_cap, r2),
+        _fwd_kernel(ns_f, s_cap, r2),
         out_shape=jax.ShapeDtypeStruct((16, mq_pad), dt),
         grid_spec=grid_spec,
         interpret=_interpret(),
@@ -842,7 +929,7 @@ def _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len, f_ctr,
 
 
 def _bwd_call(pts_sorted, q_est, est_sorted, table9, b_start, b_lead, b_len,
-              b_ctr, *, t2, p_cap, sr_cap, r2):
+              b_ctr, *, t2, p_cap, sr_cap, ns_b, r2):
     """Run the backward kernel: (m_pad, 3) gradient wrt current points."""
     m_pad = pts_sorted.shape[0]
     dt = pts_sorted.dtype
@@ -875,12 +962,12 @@ def _bwd_call(pts_sorted, q_est, est_sorted, table9, b_start, b_lead, b_len,
         out_specs=pl.BlockSpec((8, p_cap), lambda t, *_: (0, t),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NS, 16, sr_cap), dt),
-            pltpu.SemaphoreType.DMA((NS,)),
+            pltpu.VMEM((ns_b, 16, sr_cap), dt),
+            pltpu.SemaphoreType.DMA((ns_b,)),
         ],
     )
     out = pl.pallas_call(
-        _bwd_kernel(NS, sr_cap, r2),
+        _bwd_kernel(ns_b, sr_cap, r2),
         out_shape=jax.ShapeDtypeStruct((8, m_pad), dt),
         grid_spec=grid_spec,
         interpret=_interpret(),
@@ -897,11 +984,13 @@ def _cellwin_core(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len,
                   f_ctr, b_start, b_lead, b_len, b_ctr, dims):
     """(mean (3, mq_pad), comps 6-tuple, w_sum) over the padded row tiles.
 
-    ``dims`` is the static (t1, r_cap, s_cap, t2, p_cap, sr_cap, r2) tuple.
+    ``dims`` is the static
+    (t1, r_cap, s_cap, ns_f, t2, p_cap, sr_cap, ns_b, r2) tuple.
     """
-    t1, r_cap, s_cap, t2, p_cap, sr_cap, r2 = dims
+    t1, r_cap, s_cap, ns_f, t2, p_cap, sr_cap, ns_b, r2 = dims
     raw = _fwd_call(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len,
-                    f_ctr, t1=t1, r_cap=r_cap, s_cap=s_cap, r2=r2)
+                    f_ctr, t1=t1, r_cap=r_cap, s_cap=s_cap, ns_f=ns_f,
+                    r2=r2)
     mean = raw[0:3]
     comps = (raw[3], raw[4], raw[5], raw[6], raw[7], raw[8])
     return mean, comps, raw[9]
@@ -920,14 +1009,15 @@ def _cellwin_core_fwd(pts_sorted, q_est, est_sorted, f_start, f_lead, f_len,
 def _cellwin_core_bwd(dims, res, cot):
     from .features import _cotangent_table
 
-    t1, r_cap, s_cap, t2, p_cap, sr_cap, r2 = dims
+    t1, r_cap, s_cap, ns_f, t2, p_cap, sr_cap, ns_b, r2 = dims
     (pts_sorted, q_est, est_sorted, mean, w_sum,
      b_start, b_lead, b_len, b_ctr) = res
     g_mean, g_comps, _g_wsum = cot
     table9 = _cotangent_table(mean, w_sum, (g_mean, g_comps))
     grad = _bwd_call(pts_sorted, q_est, est_sorted, table9,
                      b_start, b_lead, b_len, b_ctr,
-                     t2=t2, p_cap=p_cap, sr_cap=sr_cap, r2=r2)
+                     t2=t2, p_cap=p_cap, sr_cap=sr_cap, ns_b=ns_b,
+                     r2=r2)
     return (grad, None, None, None, None, None, None, None, None, None,
             None)
 
@@ -944,7 +1034,8 @@ _cellwin_core.defvjp(_cellwin_core_fwd, _cellwin_core_bwd)
 class CellWinDevice:
     """Device-resident cell-window graph (pytree; shapes static).
 
-    ``dims`` = (t1, r_cap, s_cap, t2, p_cap, sr_cap, r2) static metadata.
+    ``dims`` = (t1, r_cap, s_cap, ns_f, t2, p_cap, sr_cap, ns_b, r2)
+    static metadata.
     ``perm``/``inv`` map the ORIGINAL merged point table into the padded
     cell-sorted layout the kernels consume (use with
     ops.features.permute_rows; padding slots read row 0 and their
@@ -1022,8 +1113,8 @@ def graph_to_device(g: CellWinGraph) -> CellWinDevice:
         exc_nn=exc_nn,
         exc_w=exc_w,
         exc_tg=exc_tg,
-        dims=(g.n_row_tiles, g.row_cap, g.span_cap,
-              g.n_pt_tiles, g.pt_cap, g.rspan_cap, g.r2),
+        dims=(g.n_row_tiles, g.row_cap, g.span_cap, g.ns_f,
+              g.n_pt_tiles, g.pt_cap, g.rspan_cap, g.ns_b, g.r2),
         n_exc=g.n_exc,
     )
 

@@ -246,23 +246,20 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
             "prepare_sequences(..., mesh=mesh) (or via cfg.mesh_shape, "
             "which disables the sort) before sharding"
         )
-    if any(c is not None for c in (getattr(data, "cellwin", ()) or ())):
-        # The cell-window kernels are a single-device engine; the sharded
-        # step builds its own per-shard transpose graphs from
-        # data.neighbors below. Dropping the graphs is correct (the gather
-        # engine computes the same uncapped moments) but must not be
-        # silent: a user A/B-ing the backends multi-chip would measure
-        # gather twice.
-        import dataclasses as _dc
-        import warnings
+    # Cell-window graphs shard instead of dropping (second generation):
+    # forward by row tile, backward by point tile — see
+    # parallel/cellwin_shard.py. Sequences carrying a sharded graph skip
+    # the generic row-table sharding below (the engine brings its own
+    # padded row layout whose length need not divide the mesh before
+    # padding).
+    cw_shards = [None] * len(data.batches)
+    cw_in = list(getattr(data, "cellwin", ()) or ())
+    if any(c is not None for c in cw_in):
+        from .cellwin_shard import shard_cellwin_device
 
-        warnings.warn(
-            "cellwin graphs dropped: the cell-window moments engine is "
-            "single-device; the sharded step uses the gather engine on the "
-            "same graph",
-            stacklevel=2,
-        )
-        data = _dc.replace(data, cellwin=())
+        for i, c in enumerate(cw_in):
+            if c is not None:
+                cw_shards[i] = shard_cellwin_device(c, mesh, axis=DATA_AXIS)
     if any(o is not None for o in (getattr(data, "offsets", ()) or ())):
         raise NotImplementedError(
             "static TrainData.offsets are not consumed by the sharded loss; "
@@ -320,7 +317,10 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
     off_t = []
     off_tw = []
     for i, nn in enumerate(data.neighbors):
-        plain = nn is not None and not hasattr(nn, "member_idx")
+        # Cell-window sequences carry their own kernels + exception
+        # transposes; the generic stacked transposes would be dead weight.
+        plain = (nn is not None and not hasattr(nn, "member_idx")
+                 and cw_shards[i] is None)
         if plain and pair_transposes:
             m = int(np.prod(data.batches[i].cloud.depth.shape))
             t_idx, t_slot = _stacked_shard_transposes(nn, m, mesh)
@@ -352,6 +352,16 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
         # frozen-weight moments VJP always applies here, nn_scale or not.
         m = int(np.prod(data.batches[i].cloud.depth.shape))
         ow = jnp.asarray(data.off_weights[i])
+        onn = jnp.asarray(onn)
+        if cw_shards[i] is not None:
+            # Offset rows live in the cell-window padded tile layout
+            # (re-indexed at prepare time); pad to the SHARDED layout's
+            # device-multiple row count before splitting.
+            rows_p = int(cw_shards[i].row_map.shape[0])
+            grow = rows_p - onn.shape[0]
+            if grow:
+                onn = jnp.pad(onn, ((0, grow), (0, 0)), constant_values=-1)
+                ow = jnp.pad(ow, ((0, grow), (0, 0)))
         ot_idx, ot_w = _stacked_shard_transposes(onn, m, mesh, weights=ow)
         off_nn.append(place(jnp.asarray(onn), point_sharded))
         off_w.append(place(ow, point_sharded))
@@ -362,29 +372,44 @@ def shard_train_data(data, mesh: Mesh, analytic_vjp: bool = True,
         data,
         batches=tuple(place_batch(b) for b in data.batches),
         query_rows=tuple(
-            place(q, point_sharded) if q is not None else None
-            for q in (data.query_rows or (None,) * len(data.batches))
+            place(q, point_sharded)
+            if q is not None and cw_shards[j] is None
+            else None
+            for j, q in enumerate(
+                data.query_rows or (None,) * len(data.batches)
+            )
         ),
+        # Cell-window sequences: the frozen row tables (neighbors /
+        # weights / masks) are subsumed by the sharded graph (its row_map
+        # carries the mask); their pre-padding row counts need not divide
+        # the mesh, so they are dropped rather than placed.
         neighbors=tuple(
             place_planes(n)
             if n is not None and hasattr(n, "member_idx")
-            else (place(n, point_sharded) if n is not None else None)
-            for n in data.neighbors
+            else (
+                place(n, point_sharded)
+                if n is not None and cw_shards[j] is None
+                else None
+            )
+            for j, n in enumerate(data.neighbors)
         ),
         weights=tuple(
-            place(w, point_sharded) if w is not None else None
-            for w in data.weights
+            place(w, point_sharded)
+            if w is not None and cw_shards[j] is None
+            else None
+            for j, w in enumerate(data.weights)
         ),
         masks=tuple(
             None
-            if m is None
+            if m is None or cw_shards[j] is not None
             else (
                 place(m, replicated)
                 if n is not None and hasattr(n, "member_idx")
                 else place(m, point_sharded)
             )
-            for m, n in zip(data.masks, data.neighbors)
+            for j, (m, n) in enumerate(zip(data.masks, data.neighbors))
         ),
+        cellwin=tuple(cw_shards),
         t_neighbors=tuple(t_neighbors),
         t_slots=tuple(t_slots),
         t_weights=tuple(t_weights),
@@ -481,6 +506,61 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
             pw = pw / jnp.maximum(jnp.sum(eigvals, -1), 1e-6)
         return pw
 
+    def _offset_pointwise(model, batch, off_nn, off_w, off_t, off_tw,
+                          off_slot, qr, points_sharded):
+        """Pointwise loss of the frozen LOCAL neighborhoods under the
+        CURRENT model (dynamic loss offset; reference: preproc.py:67-77).
+        Unscaled like the single-device _local_offset: the reference's
+        offset eigenvalues come from the unscaled local features."""
+        local = model.apply(batch.cloud) if model is not None else batch.cloud
+        lpts = local.to_points()  # (S, N[/D], 3)
+        if points_sharded:
+            lpts = jax.lax.all_gather(lpts, DATA_AXIS, axis=1, tiled=True)
+        lpts = lpts.reshape(-1, lpts.shape[-1])
+        off_feats = neighborhood_features(
+            lpts, off_nn, off_w, scale=None,
+            compute_normals=False, t_idx=off_t, t_slot=off_slot,
+            t_w=off_tw, query_rows=qr,
+        )
+        return _pointwise_of(off_feats)
+
+    def _tail(pointwise, mask, off_pw):
+        """Trim -> offset -> relu/sqrt -> finite masks -> psum pair (the
+        shared reduction tail of the gather and cell-window bodies)."""
+        # Inlier-quantile trim over the GLOBAL distribution: the sharded
+        # pointwise losses all_gather (Mq floats — a few hundred KB over
+        # ICI), the threshold replicates (reference: loss.py:256-273).
+        if inlier_ratio < 1.0 or inlier_max_loss is not None:
+            from ..ops.reduce import masked_quantile
+
+            thr = inlier_max_loss
+            if inlier_ratio < 1.0:
+                pw_all = jax.lax.all_gather(pointwise, DATA_AXIS, tiled=True)
+                m_all = jax.lax.all_gather(mask, DATA_AXIS, tiled=True)
+                q = masked_quantile(pw_all, m_all, inlier_ratio)
+                if inlier_loss_mult != 1.0:
+                    q = inlier_loss_mult * q
+                thr = q if thr is None else jnp.minimum(
+                    jnp.asarray(thr, q.dtype), q
+                )
+            mask = mask & (pointwise <= thr)
+
+        if off_pw is not None:
+            pointwise = pointwise - off_pw
+
+        pointwise = jax.nn.relu(pointwise)
+        if sqrt:
+            pointwise = jnp.sqrt(pointwise)
+        # only_finite / skip_nans fold into the mask exactly like the
+        # single-device reduce_loss (reference: loss.py:125-150).
+        if only_finite:
+            mask = mask & jnp.isfinite(pointwise)
+        elif skip_nans:
+            mask = mask & ~jnp.isnan(pointwise)
+        s = jax.lax.psum(jnp.sum(jnp.where(mask, pointwise, 0.0)), DATA_AXIS)
+        c = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
+        return s, c
+
     def seq_loss(params, batch, neighbors, weights, mask, t_idx, t_w,
                  t_slot=None, off_nn=None, off_w=None, off_t=None,
                  off_tw=None, off_slot=None, qr=None, points_sharded=False):
@@ -502,54 +582,37 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
             query_rows=qr,
         )
         pointwise = _pointwise_of(feats)
-
-        # Inlier-quantile trim over the GLOBAL distribution: the sharded
-        # pointwise losses all_gather (Mq floats — a few hundred KB over
-        # ICI), the threshold replicates (reference: loss.py:256-273).
-        if inlier_ratio < 1.0 or inlier_max_loss is not None:
-            from ..ops.reduce import masked_quantile
-
-            thr = inlier_max_loss
-            if inlier_ratio < 1.0:
-                pw_all = jax.lax.all_gather(pointwise, DATA_AXIS, tiled=True)
-                m_all = jax.lax.all_gather(mask, DATA_AXIS, tiled=True)
-                q = masked_quantile(pw_all, m_all, inlier_ratio)
-                if inlier_loss_mult != 1.0:
-                    q = inlier_loss_mult * q
-                thr = q if thr is None else jnp.minimum(
-                    jnp.asarray(thr, q.dtype), q
-                )
-            mask = mask & (pointwise <= thr)
-
-        # Dynamic loss offset under the current model (local neighborhoods
-        # sharded like the global ones; reference: preproc.py:67-77).
+        off_pw = None
         if off_nn is not None:
-            local = model.apply(batch.cloud) if model is not None else batch.cloud
-            lpts = local.to_points()  # (S, N[/D], 3)
-            if points_sharded:
-                lpts = jax.lax.all_gather(lpts, DATA_AXIS, axis=1, tiled=True)
-            lpts = lpts.reshape(-1, lpts.shape[-1])
-            # Unscaled like the single-device _local_offset: the reference's
-            # offset eigenvalues come from the unscaled local features.
-            off_feats = neighborhood_features(
-                lpts, off_nn, off_w, scale=None,
-                compute_normals=False, t_idx=off_t, t_slot=off_slot,
-                t_w=off_tw, query_rows=qr,
-            )
-            pointwise = pointwise - _pointwise_of(off_feats)
+            off_pw = _offset_pointwise(model, batch, off_nn, off_w, off_t,
+                                       off_tw, off_slot, qr, points_sharded)
+        return _tail(pointwise, mask, off_pw)
 
-        pointwise = jax.nn.relu(pointwise)
-        if sqrt:
-            pointwise = jnp.sqrt(pointwise)
-        # only_finite / skip_nans fold into the mask exactly like the
-        # single-device reduce_loss (reference: loss.py:125-150).
-        if only_finite:
-            mask = mask & jnp.isfinite(pointwise)
-        elif skip_nans:
-            mask = mask & ~jnp.isnan(pointwise)
-        s = jax.lax.psum(jnp.sum(jnp.where(mask, pointwise, 0.0)), DATA_AXIS)
-        c = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-        return s, c
+    def seq_loss_cw(params, batch, shl, off_nn=None, off_w=None, off_t=None,
+                    off_tw=None, off_slot=None, points_sharded=False):
+        """Cell-window engine body: moments from the sharded span-DMA
+        kernels (parallel/cellwin_shard.py) — forward over this device's
+        row tiles, backward over its point tiles — on the same transiently
+        all_gather-ed position table the gather body uses."""
+        from ..ops.features import permute_rows
+        from .cellwin_shard import cellwin_features_sharded
+
+        model = params["model"]
+        deltas = params.get("pose_deltas")
+        delta = deltas[0] if deltas is not None else None
+        points = _global_points_from_shard(batch, model, delta, points_sharded)
+        pts_sorted = permute_rows(points, shl.perm, shl.inv)
+        feats = cellwin_features_sharded(pts_sorted, shl)
+        pointwise = _pointwise_of(feats)
+        mask = shl.row_map >= 0
+        off_pw = None
+        if off_nn is not None:
+            # Offset graphs were re-indexed into the padded tile layout at
+            # prepare time (train.prepare_sequences); rows align with the
+            # cell-window feature rows.
+            off_pw = _offset_pointwise(model, batch, off_nn, off_w, off_t,
+                                       off_tw, off_slot, None, points_sharded)
+        return _tail(pointwise, mask, off_pw)
 
     _cache = {}
 
@@ -608,6 +671,43 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
         _cache[key] = fn
         return fn
 
+    def _sharded_cw(with_off: bool, pair_off: bool, ps: bool, batch, sh):
+        """shard_map wrapper for the cell-window body: the CellWinShards
+        pytree passes through with its matching spec pytree
+        (cellwin_shard.cellwin_shard_specs)."""
+        from .cellwin_shard import cellwin_shard_specs
+
+        key = ("cw", with_off, pair_off, ps, sh.dims, sh.n_exc,
+               jax.tree_util.tree_structure(batch))
+        if key in _cache:
+            return _cache[key]
+        bspec = batch_specs(batch) if ps else P()
+        specs = [P(), bspec, cellwin_shard_specs(sh)]
+        if with_off:
+            specs += [P(DATA_AXIS)] * 4
+
+        def body(params, batch, shl, *rest):
+            off_nn_ = off_w_ = off_t_ = off_tw_ = off_s_ = None
+            if with_off:
+                off_nn_, off_w_, off_t_ = rest[0], rest[1], rest[2]
+                if pair_off:
+                    off_s_ = rest[3]
+                else:
+                    off_tw_ = rest[3]
+            return seq_loss_cw(params, batch, shl, off_nn=off_nn_,
+                               off_w=off_w_, off_t=off_t_, off_tw=off_tw_,
+                               off_slot=off_s_, points_sharded=ps)
+
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=tuple(specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        _cache[key] = fn
+        return fn
+
     bound_data = data
     ps_flags = tuple(_batch_point_sharded(b) for b in data.batches)
 
@@ -624,6 +724,26 @@ def make_sharded_loss_fn(data, cfg: Config, mesh: Mesh):
                 PoseCorrection.pose,
             ):
                 p["pose_deltas"] = (deltas[i],)
+            cw = (
+                data.cellwin[i]
+                if getattr(data, "cellwin", ()) and i < len(data.cellwin)
+                else None
+            )
+            if cw is not None:
+                onn = data.off_neighbors[i] if data.off_neighbors else None
+                ot = data.off_transpose[i] if data.off_transpose else None
+                with_off = onn is not None and isinstance(ot, tuple)
+                pair_off = with_off and jnp.issubdtype(
+                    ot[1].dtype, jnp.integer
+                )
+                args = [p, batch, cw]
+                if with_off:
+                    args += [onn, data.off_weights[i], ot[0], ot[1]]
+                s, c = _sharded_cw(with_off, pair_off, ps_flags[i], batch,
+                                   cw)(*args)
+                total = total + s
+                count = count + c
+                continue
             t_idx = data.t_neighbors[i] if data.t_neighbors else None
             t_w = data.t_weights[i] if data.t_weights else None
             t_slot = data.t_slots[i] if data.t_slots else None

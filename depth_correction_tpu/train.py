@@ -144,19 +144,6 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
     """
     from .config import NeighborhoodType
 
-    if (
-        getattr(cfg, "moments_backend", "gather") == "cellwin"
-        and mesh is not None
-        and for_grad
-    ):
-        # Fail loudly instead of silently training on the gather engine:
-        # the cell-window Pallas kernels are a single-device engine (their
-        # span DMAs index one device-local cell-sorted point table).
-        raise ValueError(
-            "moments_backend='cellwin' is a single-device engine and cannot "
-            "run under cfg.mesh_shape; set moments_backend='gather' for "
-            "multi-chip training or drop mesh_shape"
-        )
     plane_mode = cfg.nn_type == NeighborhoodType.plane
     icp_mode = cfg.loss == "icp_loss"
     batches: List[SequenceBatch] = []
@@ -283,20 +270,25 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             cellwin.append(None)
             continue
         backend = getattr(cfg, "moments_backend", "auto") or "auto"
-        # 'auto' promotes the cell-window engine on TPU (measured 5.1x over
-        # the gather engine at uncapped semantics: 97.3 vs 496.5 ms/step on
-        # the bench graph, v5e) — only when the requested graph already IS
-        # the uncapped within-r graph, so auto-selection never changes the
-        # objective. Explicit 'cellwin' keeps its documented force-uncapped
-        # behavior (and raises under mesh, above).
+        # 'auto' promotes the cell-window engine on TPU (measured 8.7x over
+        # the gather engine's best observed run at uncapped semantics: 57.4
+        # vs 496.5 ms/step on the bench graph, v5e) — only when the
+        # requested graph already IS the uncapped within-r graph, so
+        # auto-selection never changes the objective. Explicit 'cellwin'
+        # keeps its documented force-uncapped behavior.
         auto_cellwin = (
             backend == "auto"
             and jax.default_backend() == "tpu"
             and cfg.nn_max_neighbors is None
         )
+        # Under a mesh the graph builds single-device here and
+        # shard_train_data splits it over the devices
+        # (parallel/cellwin_shard.py: forward by row tile, backward by
+        # point tile). 'auto' stays on the gather engine multi-chip (its
+        # promotion is backed by single-chip measurements only); explicit
+        # 'cellwin' opts in.
         use_cellwin = (
-            (backend == "cellwin" or auto_cellwin)
-            and mesh is None
+            (backend == "cellwin" or (auto_cellwin and mesh is None))
             and for_grad
             and cfg.nn_scale is None
             and bool(cfg.nn_r)
@@ -312,7 +304,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             est_cfg = cfg.copy()
             est_cfg.nn_max_neighbors = None
             est_cfg.nn_symmetrize = False
-            nn, w = establish_neighborhoods(gcloud, est_cfg)
+            nn, w = establish_neighborhoods(gcloud, est_cfg, mesh=mesh)
         else:
             nn, w = establish_neighborhoods(gcloud, cfg, mesh=mesh)
         feat = compute_neighborhood_features(gcloud, nn, w, cfg)
@@ -971,11 +963,12 @@ def train(
         train_loss_fn = make_sharded_loss_fn(train_data, cfg, mesh)
     else:
         train_loss_fn = make_loss_fn(cfg, loss_fun=loss_fun)
-        # Cell-window graphs ride the closure, not the jit arguments
-        # (35-220x, see bind_cellwin_static).
-        train_loss_fn, train_data = bind_cellwin_static(
-            train_loss_fn, train_data
-        )
+    # Cell-window graphs ride the closure, not the jit arguments
+    # (35-220x, see bind_cellwin_static; the sharded CellWinShards tables
+    # are static establishment data exactly like the single-device ones).
+    train_loss_fn, train_data = bind_cellwin_static(
+        train_loss_fn, train_data
+    )
     tx = make_optimizer(cfg)
     gmask = _grad_mask(params, cfg)
     opt_state = tx.init(params)
@@ -992,9 +985,9 @@ def train(
             val_loss_core = make_sharded_loss_fn(val_data, cfg, mesh)
         else:
             val_loss_core = make_loss_fn(cfg, loss_fun=loss_fun)
-            val_loss_core, val_data = bind_cellwin_static(
-                val_loss_core, val_data
-            )
+        val_loss_core, val_data = bind_cellwin_static(
+            val_loss_core, val_data
+        )
         if cfg.pose_correction in (PoseCorrection.sequence, PoseCorrection.pose):
             val_params = {"pose_deltas": init_pose_deltas(val_data, cfg)}
             val_tx = make_optimizer(cfg)

@@ -93,8 +93,15 @@ def main():
             datas_np = pickle.load(f)
         if "cellwin" in datas_np:
             cw = (datas_np["cellwin"].cellwin or (None,))[0]
-            stale = cw is not None and any(
-                not hasattr(cw, fld.name) for fld in _dc.fields(CellWinDevice)
+            stale = cw is not None and (
+                any(
+                    not hasattr(cw, fld.name)
+                    for fld in _dc.fields(CellWinDevice)
+                )
+                # dims is static metadata; an arity change (e.g. the
+                # mini-span ns_f/ns_b fields) means a different kernel
+                # generation built this graph.
+                or len(getattr(cw, "dims", ())) != 9
             )
             if stale or os.environ.get("DC_REBUILD_CELLWIN"):
                 # Drop the stale device graph BEFORE the pytree walk:
@@ -142,7 +149,14 @@ def main():
                     )
                     if g is not None:
                         break
-                assert g is not None, "cellwin rebuild declined"
+                assert g is not None, (
+                    "cellwin rebuild declined — the cached workload is "
+                    "likely stale (its frozen graph no longer matches the "
+                    "current transform code, e.g. after a precision "
+                    "change). Delete %s and re-prep fresh; "
+                    "DC_CELLWIN_DEBUG=1 prints the decline reason."
+                    % cache
+                )
                 datas["cellwin"] = _dc.replace(
                     d, cellwin=(graph_to_device(g),)
                 )

@@ -285,29 +285,23 @@ def test_cellwin_checkpoint_resume_bitexact(tmp_path):
     np.testing.assert_allclose(w_b, w_a, rtol=1e-12)
 
 
-def test_cellwin_under_mesh_fails_loudly(tmp_path):
-    """cellwin + mesh must not silently train on the gather engine:
-    prepare_sequences raises, and sharding data that carries cellwin
-    graphs warns when it drops them."""
-    import warnings
-
+def test_cellwin_auto_under_mesh_keeps_gather(tmp_path):
+    """'auto' + mesh stays on the gather engine (its promotion is backed
+    by single-chip measurements only); explicit 'cellwin' + mesh builds
+    the graph for the SHARDED engine (tests/test_cellwin_sharded.py)."""
     from depth_correction_tpu.datasets import create_dataset
-    from depth_correction_tpu.parallel import make_mesh, shard_train_data
+    from depth_correction_tpu.parallel import make_mesh
     from depth_correction_tpu.train import prepare_sequences
 
-    cfg = _tiny_cfg(tmp_path, "cellwin")
-    ds = create_dataset(cfg.train_names[0], cfg)
     mesh = make_mesh(2)
-    with pytest.raises(ValueError, match="single-device"):
-        prepare_sequences([ds], cfg, mesh=mesh)
+    cfg = _tiny_cfg(tmp_path, "auto")
+    ds = create_dataset(cfg.train_names[0], cfg)
+    data = prepare_sequences([ds], cfg, mesh=mesh)
+    assert not any(c is not None for c in (data.cellwin or ()))
 
-    data = prepare_sequences([ds], cfg)  # single-device build succeeds
+    cfg = _tiny_cfg(tmp_path, "cellwin")
+    data = prepare_sequences([ds], cfg, mesh=mesh)
     assert data.cellwin[0] is not None
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        sharded = shard_train_data(data, mesh)
-    assert any("cellwin" in str(w.message) for w in caught)
-    assert not any(c is not None for c in (sharded.cellwin or ()))
 
 
 def test_bind_cellwin_static_identity(tmp_path):
