@@ -201,6 +201,23 @@ class Config(Configurable):
         # bench workload (padding 1.21x vs 2.18x) at ~7% more DMAs.
         self.cellwin_row_cap = 128
         self.cellwin_pt_cap = 128
+        # cellwin boundary-ambiguity overrides (None = builder defaults,
+        # ops/cellwin.py:build_cellwin_graph): eps_rel widens the d2~r2
+        # band whose rows route through the gather exception path;
+        # max_exc_frac bounds the declined fraction. Exposed mainly so
+        # validation harnesses (e.g. the multichip dryrun) can force
+        # exception rows on tiny scenes that otherwise have none.
+        self.cellwin_eps_rel = None
+        self.cellwin_max_exc_frac = None
+        # Cross-run persistence of the frozen graphs: directory for the
+        # content-addressed prep cache (utils/prep_cache.py). None = off.
+        # prepare_sequences() then reloads establishment outputs + cellwin
+        # structure for sequences whose (scan content, establishment knobs)
+        # fingerprint matches — a second train() on identical data, or a
+        # grid experiment differing only in model/optimizer/loss reduction,
+        # preps in seconds. The grid runner (main.py) points every
+        # experiment at <out_dir>/prep_cache by default.
+        self.prep_cache_dir = None
         # Mutual-pair trimming when neighbor lists are truncated (kNN or
         # nn_max_neighbors): bounds the transpose in-degree by K, keeping the
         # analytic gradient's gather as cheap as the forward. No-op for

@@ -84,6 +84,12 @@ def train_and_eval_all(cfg: Config, pose_providers=None, models=None, losses=Non
 
     results = {}
     n_scheduled = 0
+    # Grid experiments that differ only in model / loss reduction / lr
+    # re-prepare IDENTICAL frozen graphs; share them through the prep
+    # cache (utils/prep_cache.py) unless the caller pinned a directory.
+    if not cfg.prep_cache_dir:
+        cfg = cfg.copy()
+        cfg.prep_cache_dir = os.path.join(cfg.out_dir, "prep_cache")
     for i_exp, (provider, model, loss, (i_split, split)) in enumerate(
         itertools.product(pose_providers, models, losses, enumerate(splits))
     ):

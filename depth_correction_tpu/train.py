@@ -146,6 +146,13 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
 
     plane_mode = cfg.nn_type == NeighborhoodType.plane
     icp_mode = cfg.loss == "icp_loss"
+    # Cross-run persistence of the frozen graphs (cfg.prep_cache_dir):
+    # per-sequence records keyed by (scan content, establishment knobs) —
+    # a second train() on identical data, or a grid experiment differing
+    # only in model/optimizer/loss reduction, reloads the establishment
+    # outputs + cellwin structure instead of rebuilding (utils/prep_cache).
+    cache_dir = getattr(cfg, "prep_cache_dir", None)
+    seq_fps: List[Optional[str]] = []  # per-dataset: fp to SAVE, or None
     batches: List[SequenceBatch] = []
     neighbors = []
     weights = []
@@ -163,14 +170,49 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
     point_perm = []
     cellwin = []
     for ds in datasets:
-        clouds, poses = [], []
-        local_nns: List[jax.Array] = []
         # Load the sequence first and pad every scan to ONE width: per-scan
         # feature programs (kNN, moments, masks) then compile once and are
         # reused across all scans instead of once per distinct padded size.
         # Raw scans are released as they are consumed so peak host memory
         # stays ~one sequence of feature clouds, not raw + features.
         scans = [(scan, pose) for scan, pose in ds]
+        if cache_dir:
+            from .utils.prep_cache import (
+                load_record,
+                save_record,
+                sequence_fingerprint,
+            )
+
+            fp = sequence_fingerprint(scans, cfg, mesh is not None, for_grad)
+            rec = load_record(cache_dir, fp)
+            if rec is not None:
+                import sys as _sys
+
+                print("[prep] sequence reloaded from prep cache (%s)" % fp,
+                      file=_sys.stderr)
+                batches.append(rec["batch"])
+                neighbors.append(rec["neighbors"])
+                weights.append(rec["weights"])
+                masks.append(rec["masks"])
+                query_rows.append(rec["query_rows"])
+                t_neighbors.append(rec["t_neighbors"])
+                t_slots.append(rec["t_slots"])
+                t_weights.append(rec["t_weights"])
+                offsets.append(rec["offsets"])
+                off_neighbors.append(rec["off_neighbors"])
+                off_weights.append(rec["off_weights"])
+                off_transpose.append(rec["off_transpose"])
+                icp_idx.append(rec["icp_idx"])
+                icp_w.append(rec["icp_w"])
+                point_perm.append(rec["point_perm"])
+                cellwin.append(rec["cellwin"])
+                seq_fps.append(None)
+                continue
+            seq_fps.append(fp)
+        else:
+            seq_fps.append(None)
+        clouds, poses = [], []
+        local_nns: List[jax.Array] = []
         from .preproc import pad_size as _pad_size
 
         common_pad = max((_pad_size(len(s)) for s, _ in scans), default=0)
@@ -284,11 +326,14 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
         # Under a mesh the graph builds single-device here and
         # shard_train_data splits it over the devices
         # (parallel/cellwin_shard.py: forward by row tile, backward by
-        # point tile). 'auto' stays on the gather engine multi-chip (its
-        # promotion is backed by single-chip measurements only); explicit
-        # 'cellwin' opts in.
+        # point tile). 'auto' promotes the sharded engine under a mesh
+        # too (round 5): per-device compute is exactly 1/D of the
+        # single-device kernels (value rtol 1e-9 / grad 1e-7 parity at 8
+        # virtual devices, tests/test_cellwin_sharded.py), so the
+        # single-chip 8.7x measurement carries over while the gather
+        # engine it replaces was measured 8.7x slower on the same graph.
         use_cellwin = (
-            (backend == "cellwin" or (auto_cellwin and mesh is None))
+            (backend == "cellwin" or auto_cellwin)
             and for_grad
             and cfg.nn_scale is None
             and bool(cfg.nn_r)
@@ -383,6 +428,11 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             # scenes (hundreds of points per cell) need wider windows, and
             # 1024-slot spans still fit the kernels' VMEM comfortably
             # (~2 MB live per (S, R) tile at R=256).
+            extra = {}
+            if getattr(cfg, "cellwin_eps_rel", None) is not None:
+                extra["eps_rel"] = float(cfg.cellwin_eps_rel)
+            if getattr(cfg, "cellwin_max_exc_frac", None) is not None:
+                extra["max_exc_frac"] = float(cfg.cellwin_max_exc_frac)
             for span_limit in (512, 1024):
                 g = build_cellwin_graph(
                     np.asarray(gcloud.get_points(), np.float64),
@@ -394,6 +444,7 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
                     pt_cap=int(getattr(cfg, "cellwin_pt_cap", 128)),
                     span_limit=span_limit,
                     z_max=getattr(cfg, "cellwin_z_max", None),
+                    **extra,
                 )
                 if g is not None:
                     break
@@ -498,6 +549,34 @@ def prepare_sequences(datasets, cfg: Config, mesh=None,
             )
             t_slots.append(None)
         t_weights.append(None)
+    if cache_dir and any(fp is not None for fp in seq_fps):
+        from .utils.prep_cache import save_record
+
+        for i, fp in enumerate(seq_fps):
+            if fp is None:
+                continue
+            save_record(
+                cache_dir,
+                fp,
+                {
+                    "batch": batches[i],
+                    "neighbors": neighbors[i],
+                    "weights": weights[i],
+                    "masks": masks[i],
+                    "query_rows": query_rows[i],
+                    "t_neighbors": t_neighbors[i],
+                    "t_slots": t_slots[i],
+                    "t_weights": t_weights[i],
+                    "offsets": offsets[i],
+                    "off_neighbors": off_neighbors[i],
+                    "off_weights": off_weights[i],
+                    "off_transpose": off_transpose[i],
+                    "icp_idx": icp_idx[i],
+                    "icp_w": icp_w[i],
+                    "point_perm": point_perm[i],
+                    "cellwin": cellwin[i],
+                },
+            )
     return TrainData(
         batches=tuple(batches),
         neighbors=tuple(neighbors),

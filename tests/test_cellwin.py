@@ -285,18 +285,36 @@ def test_cellwin_checkpoint_resume_bitexact(tmp_path):
     np.testing.assert_allclose(w_b, w_a, rtol=1e-12)
 
 
-def test_cellwin_auto_under_mesh_keeps_gather(tmp_path):
-    """'auto' + mesh stays on the gather engine (its promotion is backed
-    by single-chip measurements only); explicit 'cellwin' + mesh builds
-    the graph for the SHARDED engine (tests/test_cellwin_sharded.py)."""
+def test_cellwin_auto_under_mesh_promotes_sharded(tmp_path, monkeypatch):
+    """'auto' + mesh selects the sharded cell-window engine on TPU (round-5
+    promotion: parity at 8 virtual devices proven in
+    tests/test_cellwin_sharded.py, single-chip speedup 8.7x) — under the
+    same uncapped-graph gate as single-chip auto. A capped graph keeps
+    gather (auto never changes the objective); off-TPU auto keeps gather."""
     from depth_correction_tpu.datasets import create_dataset
     from depth_correction_tpu.parallel import make_mesh
+    from depth_correction_tpu import train as train_mod
     from depth_correction_tpu.train import prepare_sequences
 
     mesh = make_mesh(2)
     cfg = _tiny_cfg(tmp_path, "auto")
     ds = create_dataset(cfg.train_names[0], cfg)
+
+    # Off-TPU (this CPU suite): auto keeps gather, mesh or not.
     data = prepare_sequences([ds], cfg, mesh=mesh)
+    assert not any(c is not None for c in (data.cellwin or ()))
+
+    # On TPU (mocked backend): auto + mesh now builds the cellwin graph
+    # (shard_train_data then splits it into CellWinShards).
+    monkeypatch.setattr(train_mod.jax, "default_backend", lambda: "tpu")
+    data = prepare_sequences([ds], cfg, mesh=mesh)
+    assert data.cellwin[0] is not None
+
+    # ... but never for a capped graph (the objective the user asked for
+    # is not the uncapped within-r graph).
+    capped = _tiny_cfg(tmp_path, "auto")
+    capped.nn_max_neighbors = 16
+    data = prepare_sequences([ds], capped, mesh=mesh)
     assert not any(c is not None for c in (data.cellwin or ()))
 
     cfg = _tiny_cfg(tmp_path, "cellwin")
