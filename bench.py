@@ -411,6 +411,184 @@ def bench_torch_baseline(cfg, data, steps: int = TORCH_STEPS, full_nn=None):
     return float(np.median(times) * 1e3), float(loss0), w_end
 
 
+def build_node_scan():
+    """One realistic raw scan (~130k points) + the node config.
+
+    The training-bench datasets are voxel-filtered by the factory; the node
+    receives RAW sensor scans and does its own filtering in-program
+    (reference: scripts/depth_correction:31-58 filters per callback), so the
+    scan comes straight from the dataset class.
+    """
+    import os
+
+    from depth_correction_tpu.datasets.synthetic import OpenBoxDataset
+
+    cfg = bench_config(True)
+    cfg.nn_backend = "grid"
+    density = int(os.environ.get("DC_BENCH_NODE_DENSITY", "215"))
+    ds = OpenBoxDataset(
+        name="open_box/n_6_size_20_20_5_height_1_density_%d" % density
+    )
+    return cfg, ds.local_cloud(0)
+
+
+def bench_node(cfg, scan, reps: int = 10):
+    """On-chip per-scan latency of the online corrector (node.py).
+
+    Measures the FULL callback: host scan -> device, filters, fresh
+    grid-hash establishment (exact query_ball_point cover: K = pow2-rounded
+    max within-r degree), features, model apply, corrected arrays back on
+    host. Through the axon tunnel each host<->device sync costs ~28 ms
+    RTT that a co-hosted deployment would not pay; the median e2e number
+    is therefore an UPPER bound on real per-callback latency.
+
+    :return: (median e2e ms, n_kept_points, K).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.node import correct_cloud
+    from depth_correction_tpu.preproc import pad_size
+
+    model = ScaledPolynomial(w=jnp.asarray([-0.002]),
+                             exponent=jnp.asarray([4.0]))
+
+    def one_call(k):
+        cloud = Cloud.from_structured_array(scan, dtype=jnp.float32)
+        cloud = cloud.pad(pad_size(cloud.size))
+        outs = correct_cloud(model, cloud, cfg, k=k)
+        return tuple(np.asarray(o) for o in outs)
+
+    # Size K once per stream (static per deployment; the reference sizes
+    # its neighborhoods from config the same way): exact cover of the
+    # max within-r degree on the filtered scan, pow2-rounded.
+    from depth_correction_tpu.node import _filter_program
+    from depth_correction_tpu.ops.grid_hash import grid_neighbor_counts
+
+    cloud = Cloud.from_structured_array(scan, dtype=jnp.float32)
+    cloud = cloud.pad(pad_size(cloud.size))
+    keep, points = _filter_program(
+        cloud.vps, cloud.dirs, cloud.depth, cloud.valid,
+        min_depth=float(cfg.min_depth or 0.0),
+        max_depth=float(cfg.max_depth or np.inf),
+        grid_res=float(cfg.grid_res or 0.0),
+    )
+    max_deg = int(jnp.max(grid_neighbor_counts(
+        points, r=float(cfg.nn_r), valid_points=keep, valid_query=keep)))
+    k = 1 << max(int(max_deg - 1).bit_length(), 3)
+    n_kept = int(np.asarray(keep).sum())
+    print("[bench] node scan: %d raw -> %d kept points, max degree %d "
+          "-> K=%d" % (len(scan), n_kept, max_deg, k), file=sys.stderr)
+
+    outs = one_call(k)  # warmup: compiles the stream's programs
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = one_call(k)
+        times.append(time.perf_counter() - t0)
+    del outs
+    ms = float(np.median(times) * 1e3)
+    print("[bench] node e2e per-scan: median %.1f ms over %d calls "
+          "(spread %.1f-%.1f)" % (ms, reps, min(times) * 1e3,
+                                  max(times) * 1e3), file=sys.stderr)
+    return ms, n_kept, k
+
+
+def bench_node_torch_baseline(cfg, scan, reps: int = 3):
+    """Reference per-callback cost on CPU: the work the reference node does
+    per message (scripts/depth_correction:31-58, timed by its own
+    timing()/timer wrappers, utils.py:54-64) — depth+voxel filters, fresh
+    cKDTree ball query, torch-f64 neighborhood features (mean/cov/eigh,
+    normals, incidence angles), model apply. Vectorized (generous: the
+    reference's feature path loops in Python).
+    """
+    import torch
+    from scipy.spatial import cKDTree
+
+    x = np.stack([scan["x"], scan["y"], scan["z"]], 1).astype(np.float64)
+    vp = (
+        np.stack([scan["vp_x"], scan["vp_y"], scan["vp_z"]], 1).astype(
+            np.float64)
+        if "vp_x" in (scan.dtype.names or ())
+        else np.zeros_like(x)
+    )
+    r = float(cfg.nn_r)
+    gres = float(cfg.grid_res or 0.0)
+
+    def callback():
+        depth = np.linalg.norm(x - vp, axis=1)
+        keep = (depth >= (cfg.min_depth or 0.0)) & (
+            depth <= (cfg.max_depth or np.inf))
+        if gres > 0.0:
+            ids = np.floor(x[keep] / gres).astype(np.int64)
+            lin = (ids[:, 0] * 2_000_003 + ids[:, 1]) * 2_000_003 + ids[:, 2]
+            _, first = np.unique(lin, return_index=True)
+            sel = np.zeros(keep.sum(), bool)
+            sel[first] = True
+            idx = np.flatnonzero(keep)[sel]
+        else:
+            idx = np.flatnonzero(keep)
+        pts = x[idx]
+        tree = cKDTree(pts)
+        nbr_lists = tree.query_ball_point(pts, r)
+        kmax = max((len(l) for l in nbr_lists), default=1)
+        nn = np.zeros((len(pts), kmax), np.int64)
+        w8 = np.zeros((len(pts), kmax), np.float64)
+        for i, l in enumerate(nbr_lists):
+            nn[i, : len(l)] = l
+            w8[i, : len(l)] = 1.0
+        tp = torch.as_tensor(pts)
+        tnn = torch.as_tensor(nn)
+        tw = torch.as_tensor(w8)
+        nbr = tp[tnn]  # (m, K, 3)
+        wsum = tw.sum(dim=1, keepdim=True)
+        mean = (tw.unsqueeze(-1) * nbr).sum(dim=1) / wsum.clamp(min=1e-12)
+        xc = (nbr - mean[:, None, :]) * tw.unsqueeze(-1).sqrt()
+        cov = torch.einsum("mki,mkj->mij", xc, xc) / (
+            wsum - 1).clamp(min=1e-6)[..., None]
+        evals, evecs = torch.linalg.eigh(cov)
+        normals = evecs[..., 0]
+        view = torch.as_tensor(vp[idx]) - tp
+        view = view / view.norm(dim=1, keepdim=True).clamp(min=1e-12)
+        flip = (normals * view).sum(1, keepdim=True) < 0
+        normals = torch.where(flip, -normals, normals)
+        inc = torch.arccos(
+            (normals * view).sum(1).abs().clamp(max=1.0))
+        bias = inc.pow(4.0) * (-0.002)
+        depth_t = torch.as_tensor(depth[idx])
+        corrected = tp + ((depth_t * (1.0 - bias)) - depth_t).unsqueeze(-1) * (
+            -view)
+        return np.asarray(corrected)
+
+    callback()  # warmup (BLAS thread pools etc.)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        callback()
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1e3)
+    print("[bench] node torch-cpu reference callback: median %.1f ms over "
+          "%d calls" % (ms, reps), file=sys.stderr)
+    return ms
+
+
+def run_node_mode():
+    cfg, scan = build_node_scan()
+    node_ms, n_kept, k = bench_node(cfg, scan)
+    ref_ms = bench_node_torch_baseline(cfg, scan)
+    pts_per_sec = n_kept / (node_ms / 1e3)
+    print("[bench] node corrected points/sec/chip: %.3g (vs_baseline %.1fx)"
+          % (pts_per_sec, ref_ms / node_ms), file=sys.stderr)
+    return {
+        "node_ms": node_ms,
+        "node_ref_ms": ref_ms,
+        "node_points": n_kept,
+        "node_k": k,
+    }
+
+
 def _sizes(data):
     n_global = int(np.asarray(data.batches[0].cloud.valid).sum())
     n_query = int(np.asarray(data.masks[0]).size)
@@ -500,25 +678,48 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _devices_or_retry()
 
-    modes = os.environ.get("DC_BENCH_MODES", "uncapped,capped").split(",")
-    stats = {m: run_mode(m == "uncapped") for m in modes}
+    modes = os.environ.get("DC_BENCH_MODES", "uncapped,capped,node").split(",")
+    stats = {}
+    node_stats = None
+    for m in modes:
+        if m == "node":
+            node_stats = run_node_mode()
+        else:
+            stats[m] = run_mode(m == "uncapped")
 
-    u = stats.get("uncapped") or next(iter(stats.values()))
-    out = {
-        "metric": "train_step_ms",
-        "value": round(u["ours_ms"], 3),
-        "unit": "ms",
-        "vs_baseline": round(u["ref_ms"] / u["ours_ms"], 2),
-        "graph": "uncapped_r0.25" if "uncapped" in stats else "capped32",
-        "engine": u["engine"],
-        "vs_optimized_torch": round(u["opt_ms"] / u["ours_ms"], 2),
-        "loss_rel_err_w0": round(u["loss_rel"], 9),
-        "w_rel_err_6steps": round(u["w_rel"], 9),
-    }
+    u = stats.get("uncapped") or (
+        next(iter(stats.values())) if stats else None
+    )
+    out = {}
+    if u is not None:
+        out = {
+            "metric": "train_step_ms",
+            "value": round(u["ours_ms"], 3),
+            "unit": "ms",
+            "vs_baseline": round(u["ref_ms"] / u["ours_ms"], 2),
+            "graph": "uncapped_r0.25" if "uncapped" in stats else "capped32",
+            "engine": u["engine"],
+            "vs_optimized_torch": round(u["opt_ms"] / u["ours_ms"], 2),
+            "loss_rel_err_w0": round(u["loss_rel"], 9),
+            "w_rel_err_6steps": round(u["w_rel"], 9),
+        }
+    elif node_stats is not None:
+        out = {
+            "metric": "node_scan_ms",
+            "value": round(node_stats["node_ms"], 3),
+            "unit": "ms",
+            "vs_baseline": round(
+                node_stats["node_ref_ms"] / node_stats["node_ms"], 2),
+        }
     c = stats.get("capped")
     if c is not None:
         out["capped32_ms"] = round(c["ours_ms"], 3)
         out["capped32_vs_baseline"] = round(c["ref_ms"] / c["ours_ms"], 2)
+    if node_stats is not None:
+        out["node_ms"] = round(node_stats["node_ms"], 3)
+        out["node_vs_baseline"] = round(
+            node_stats["node_ref_ms"] / node_stats["node_ms"], 2)
+        out["node_points"] = node_stats["node_points"]
     print(json.dumps(out))
 
 

@@ -233,6 +233,7 @@ def grid_radius_neighbors(
     valid_query: Optional[jax.Array] = None,
     bucket_cap: Optional[int] = None,
     cell_size: Optional[float] = None,
+    static_shapes: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Up to ``k`` nearest neighbors within ``r`` via voxel buckets.
 
@@ -244,8 +245,12 @@ def grid_radius_neighbors(
     :param bucket_cap: static max points per voxel; default = measured
         occupancy (exact). Lower values trade exactness for speed.
     :param cell_size: voxel side, must be >= r for exactness; default r.
+    :param static_shapes: pow2-round the data-dependent shapes (window
+        width, dense-starts length) so streaming callers stop recompiling
+        after a few scans; results are identical.
     """
-    grid, bucket_cap = _build_grid(points, valid_points, r, cell_size, bucket_cap)
+    grid, bucket_cap = _build_grid(points, valid_points, r, cell_size,
+                                   bucket_cap, static_shapes=static_shapes)
     outs = _run_chunks(grid, bucket_cap, points, query, valid_query, r, k)
     d = jnp.concatenate([o[0] for o in outs])
     idx = jnp.concatenate([o[1] for o in outs])
@@ -354,7 +359,12 @@ def grid_neighbor_counts(
     return jnp.concatenate(outs)[:nq]
 
 
-def _build_grid(points, valid_points, r, cell_size, bucket_cap):
+def _ceil_pow2(n: int) -> int:
+    return 1 << max(int(n - 1).bit_length(), 0)
+
+
+def _build_grid(points, valid_points, r, cell_size, bucket_cap,
+                static_shapes: bool = False):
     points = jnp.asarray(points)
     cell = float(cell_size if cell_size is not None else r)
     if cell < r:
@@ -404,6 +414,24 @@ def _build_grid(points, valid_points, r, cell_size, bucket_cap):
         width = max(int(-(-occ // 8) * 8), 8)
     else:
         width = int(bucket_cap)
+
+    if static_shapes:
+        # Streaming callers (node.py) see a NEW data-dependent width and
+        # cell_starts length every scan — each a fresh compile of the chunk
+        # kernel. Round both up to powers of two so the set of compiled
+        # programs saturates after a handful of scans. Exactness is
+        # unaffected: a wider window only adds masked-out slots, and the
+        # padded cell_starts tail repeats the last real entry (the first
+        # invalid slot), so out-of-range cells read empty windows.
+        width = _ceil_pow2(width)
+        if cell_starts is not None:
+            padded = _ceil_pow2(n_cells) + 1
+            if padded > cell_starts.shape[0]:
+                cell_starts = jnp.concatenate([
+                    cell_starts,
+                    jnp.full(padded - cell_starts.shape[0],
+                             cell_starts[-1], cell_starts.dtype),
+                ])
 
     grid = (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell,
             cell_starts)

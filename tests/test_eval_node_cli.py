@@ -60,6 +60,58 @@ def test_corrector_node_roundtrip(tmp_path):
     assert node_aged.process(scan, stamp=0.0) is None
 
 
+def test_corrector_node_grid_engine_matches_brute(tmp_path):
+    """The staged grid-hash establishment path (the big-scan engine,
+    node.py:correct_cloud) produces the SAME corrected output as the fused
+    brute-force program: identical neighbor sets within r (both exact) ->
+    identical features, masks, and corrected points."""
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.datasets import create_dataset
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.node import correct_cloud
+    from depth_correction_tpu.preproc import pad_size
+
+    cfg = small_cfg(tmp_path)
+    cfg.grid_res = 0.25
+    ds = create_dataset("ground_plane/4", cfg, noisy=False)
+    scan, _ = ds[0]
+    cloud = Cloud.from_structured_array(scan, dtype=cfg.jax_float_type())
+    cloud = cloud.pad(pad_size(cloud.size))
+    model = ScaledPolynomial(w=jnp.asarray([-0.002]),
+                             exponent=jnp.asarray([4.0]))
+
+    cfg.nn_backend = "brute"
+    ref = correct_cloud(model, cloud, cfg)
+    cfg.nn_backend = "grid"
+    got = correct_cloud(model, cloud, cfg)
+    keep = np.asarray(ref[4])
+    np.testing.assert_array_equal(np.asarray(got[4]), keep)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_allclose(
+        np.asarray(got[0])[keep], np.asarray(ref[0])[keep], rtol=1e-6,
+        atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(got[1])[keep], np.asarray(ref[1])[keep], rtol=1e-6,
+        atol=1e-7)
+
+
+def test_grid_static_shapes_identical_results():
+    """static_shapes=True (the streaming node's recompile guard,
+    ops/grid_hash.py) pow2-rounds the window width and dense-starts length
+    without changing any result."""
+    from depth_correction_tpu.ops.grid_hash import grid_radius_neighbors
+
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.uniform(0, 4, (3000, 3)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=3000) > 0.1)
+    d0, i0 = grid_radius_neighbors(pts, r=0.3, k=16, valid_points=valid,
+                                   valid_query=valid)
+    d1, i1 = grid_radius_neighbors(pts, r=0.3, k=16, valid_points=valid,
+                                   valid_query=valid, static_shapes=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
 def test_localization_errors_identity_and_known_offset():
     from depth_correction_tpu.metrics import localization_errors
     from depth_correction_tpu.ops.se3 import xyz_axis_angle_to_matrix
