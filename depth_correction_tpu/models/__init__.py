@@ -24,6 +24,8 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from ..ops.se3 import PPREC
+
 from ..cloud import Cloud
 
 __all__ = [
@@ -116,7 +118,7 @@ def _poly_bias(
     # Full-f32 passes: the bias is the QUANTITY BEING ESTIMATED (1e-3
     # scale); a default bf16 pass would quantize it to ~8 mantissa bits
     # (ops/se3.py PPREC).
-    return jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)  # (..., N)
+    return jnp.matmul(x, w, precision=PPREC)  # (..., N)
 
 
 @jax.tree_util.register_dataclass

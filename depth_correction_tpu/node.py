@@ -14,10 +14,14 @@ republish. Here the node boundary becomes a pure jitted function
 Establishment engine (the per-scan neighbor search, the reference's cKDTree
 per callback, depth_cloud.py / nearest_neighbors.py): small scans keep the
 whole correction ONE fused XLA program around the tiled brute-force scan;
-scans >= ``GRID_NN_MIN_POINTS`` (or ``cfg.nn_backend == 'grid'``) stage
-through the grid-hash engine (ops/grid_hash.py) with pow2-rounded static
-shapes, turning the O(N^2) scan into O(N * window) — the same engine
-training prep uses at scale.
+scans >= ``GRID_NN_MIN_POINTS`` (or ``cfg.nn_backend == 'grid'``) fuse the
+grid-hash engine (ops/grid_hash.py, traced establishment) into ONE program
+too, turning the O(N^2) scan into O(N * window) with ZERO mid-scan host
+syncs. The only data-dependent statics — the candidate-window width and the
+dense-starts table size — are sized optimistically and verified by an
+on-device ``true_win`` flag fetched with the outputs; an undersized window
+recompiles once at the next power of two and is cached for the stream
+(:data:`_WIDTH_CACHE`).
 """
 from __future__ import annotations
 
@@ -39,7 +43,13 @@ from .ops.filters import (
     filter_eigenvalues_mask,
     filter_grid_mask,
 )
-from .ops.grid_hash import GRID_NN_MIN_POINTS, grid_radius_neighbors
+from .ops.grid_hash import (
+    _QUERY_CHUNK,
+    GRID_NN_MIN_POINTS,
+    _ceil_pow2,
+    _grid_query_chunk_impl,
+    grid_establish_traced,
+)
 from .ops.knn import radius_neighbors
 from .preproc import pad_size
 
@@ -110,24 +120,84 @@ def _filter_program(vps, dirs, depth, valid, min_depth, max_depth, grid_res):
     return keep, cloud.replace(valid=keep).to_points()
 
 
-@partial(jax.jit, static_argnames=("eigval_bounds", "ratio_bounds"))
-def _apply_program(model, vps, dirs, depth, keep, nn, eigval_bounds,
-                   ratio_bounds):
-    cloud = Cloud(vps=vps, dirs=dirs, depth=depth, valid=keep)
-    return _apply_impl(model, cloud, nn, eigval_bounds, ratio_bounds)
+# Dense-starts table size for the fused node program. 2^21 cells = 8 MB
+# int32 on HBM; scans whose extent needs more cells auto-coarsen in-program
+# (grid_establish_traced), preserving exactness.
+NODE_N_CELLS_PAD = 1 << 21
+
+
+@partial(jax.jit, static_argnames=("k", "width", "n_cells_pad", "nn_r",
+                                   "min_depth", "max_depth", "grid_res",
+                                   "eigval_bounds", "ratio_bounds"))
+def _grid_correct_program(
+    model,
+    vps,
+    dirs,
+    depth,
+    valid,
+    k: int,
+    width: int,
+    n_cells_pad: int,
+    nn_r: float,
+    min_depth: float,
+    max_depth: float,
+    grid_res: float,
+    eigval_bounds,
+    ratio_bounds,
+):
+    """The big-scan online forward pass as ONE XLA program (reference per
+    callback: scripts/depth_correction:31-58 — filters, fresh cKDTree ball
+    query, features, model apply): filters -> traced grid establishment ->
+    windowed candidate queries -> features -> masked correction. One device
+    dispatch per scan; the trailing ``true_win`` scalar lets the host verify
+    the static candidate window covered this scan (see module docstring)."""
+    cloud = Cloud(vps=vps, dirs=dirs, depth=depth, valid=valid)
+    keep = _filter_impl(cloud, min_depth, max_depth, grid_res)
+    cloud = cloud.replace(valid=keep)
+    points = cloud.to_points()
+    (pts_T, val_s, ids_s, order, mins, dims, cell, cell_starts,
+     true_win) = grid_establish_traced(points, keep, nn_r, n_cells_pad)
+    r2 = jnp.asarray(nn_r, points.dtype) ** 2
+    n = points.shape[0]
+    pad = (-n) % _QUERY_CHUNK
+    q = jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)]) if pad \
+        else points
+    qv = jnp.concatenate([keep, jnp.zeros(pad, bool)]) if pad else keep
+    outs = [
+        _grid_query_chunk_impl(
+            q[i: i + _QUERY_CHUNK], qv[i: i + _QUERY_CHUNK],
+            pts_T, val_s, ids_s, order, mins, dims, r2, k, width, cell,
+            cell_starts,
+        )
+        for i in range(0, q.shape[0], _QUERY_CHUNK)
+    ]
+    nn = jnp.concatenate([o[1] for o in outs])[:n]
+    return _apply_impl(model, cloud, nn, eigval_bounds, ratio_bounds) + (
+        true_win,)
 
 
 def _freeze_bounds(bounds):
     return tuple(tuple(b) for b in bounds) if bounds else ()
 
 
-def correct_cloud(model, cloud: Cloud, cfg: Config, k: Optional[int] = None):
+# Stream-level cache of the verified candidate-window width per
+# (padded size, k, nn_r, grid_res) stream signature: after the first scan
+# (or a rare density spike) every later scan reuses the compiled program.
+_WIDTH_CACHE: dict = {}
+
+
+def correct_cloud(model, cloud: Cloud, cfg: Config, k: Optional[int] = None,
+                  width: Optional[int] = None):
     """Pure API: correct one (padded) cloud; returns (points, depth, normals,
     mask, valid).
 
-    Establishment routes like training prep (preproc.py:278-289): the
-    grid-hash engine for big scans / ``cfg.nn_backend == 'grid'``, the fused
-    brute-force program otherwise (``'brute'`` forces it)."""
+    Establishment routes like training prep (preproc.py:278-289): the fused
+    grid-hash program for big scans / ``cfg.nn_backend == 'grid'``, the fused
+    brute-force program otherwise (``'brute'`` forces it). Either way the
+    scan is ONE device dispatch; the grid path verifies its optimistic
+    static window width via the program's ``true_win`` output and retries
+    once at the next power of two when a scan overflows it (``width``
+    overrides the initial guess)."""
     k = k or cfg.nn_max_neighbors or 32
     backend = getattr(cfg, "nn_backend", None)
     n = cloud.vps.shape[0]
@@ -148,16 +218,19 @@ def correct_cloud(model, cloud: Cloud, cfg: Config, k: Optional[int] = None):
             model, cloud.vps, cloud.dirs, cloud.depth, cloud.valid,
             k=int(k), nn_r=float(cfg.nn_r), **common, **bounds,
         )
-    keep, points = _filter_program(
-        cloud.vps, cloud.dirs, cloud.depth, cloud.valid, **common
-    )
-    _, nn = grid_radius_neighbors(
-        points, r=float(cfg.nn_r), k=int(k),
-        valid_points=keep, valid_query=keep, static_shapes=True,
-    )
-    return _apply_program(
-        model, cloud.vps, cloud.dirs, cloud.depth, keep, nn, **bounds
-    )
+    key = (n, int(k), float(cfg.nn_r), common["grid_res"])
+    width = int(width or _WIDTH_CACHE.get(key) or _ceil_pow2(max(2 * k, 32)))
+    while True:
+        *outs, true_win = _grid_correct_program(
+            model, cloud.vps, cloud.dirs, cloud.depth, cloud.valid,
+            k=int(k), width=width, n_cells_pad=NODE_N_CELLS_PAD,
+            nn_r=float(cfg.nn_r), **common, **bounds,
+        )
+        true_win = int(true_win)
+        if true_win <= width:
+            _WIDTH_CACHE[key] = max(_WIDTH_CACHE.get(key, 0), width)
+            return tuple(outs)
+        width = _ceil_pow2(true_win)
 
 
 class CloudFilter:

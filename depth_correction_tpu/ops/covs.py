@@ -16,6 +16,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .se3 import PPREC
+
 __all__ = ["weighted_mean", "weighted_cov", "trace3"]
 
 
@@ -71,7 +73,7 @@ def weighted_cov(
     # precision: bf16 MXU passes would round the centered coordinates to
     # 8 mantissa bits (see ops/se3.py PPREC).
     xx = jnp.einsum("...ki,...kj->...ij", xw, xc,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=PPREC)
 
     denom = w_sum - 1.0 if correction else w_sum
     denom = jnp.maximum(denom, 1e-6)

@@ -38,6 +38,7 @@ __all__ = [
     "grid_radius_neighbors_sharded",
     "grid_neighbor_counts",
     "grid_occupancy",
+    "grid_establish_traced",
 ]
 
 _QUERY_CHUNK = 32768
@@ -103,8 +104,7 @@ def grid_occupancy(ids_sorted: jax.Array) -> jax.Array:
     return jnp.max(pos - run_start) + 1
 
 
-@partial(jax.jit, static_argnames=("k", "bucket_cap", "cell_size"))
-def _grid_query_chunk(
+def _grid_query_chunk_impl(
     q_pts,  # (Q, 3)
     q_valid,  # (Q,)
     pts_sorted_T,  # (3, N) points in bucket order
@@ -116,7 +116,7 @@ def _grid_query_chunk(
     r2,
     k: int,
     bucket_cap: int,
-    cell_size: float,
+    cell_size,  # python float (eager callers) or traced scalar (fused node)
     cell_starts=None,  # (num_cells + 1,) dense bucket starts, or None
 ):
     n = ids_sorted.shape[0]
@@ -222,6 +222,77 @@ def _grid_query_chunk(
             [idx, jnp.full((idx.shape[0], pad), -1, idx.dtype)], 1
         )
     return d, idx
+
+
+_grid_query_chunk = partial(
+    jax.jit, static_argnames=("k", "bucket_cap", "cell_size")
+)(_grid_query_chunk_impl)
+
+
+def grid_establish_traced(points, valid, r: float, n_cells_pad: int):
+    """Grid build with ALL data-dependent work traced — zero host syncs.
+
+    :func:`_build_grid` sizes the grid on the host (six-scalar bbox pull,
+    window-width readback): fine for once-per-training establishment, but a
+    streaming caller (node.py) pays ~1 tunnel RTT per sync per scan. This
+    variant keeps everything on device so establishment + query + features
+    fuse into ONE XLA program:
+
+    - bbox min/max: traced reductions;
+    - cell side: starts at ``r`` and doubles until the cell count fits the
+      static ``n_cells_pad`` dense-starts table — chosen by a feasibility
+      scan over 32 candidate doublings (log2-sum test with a conservative
+      margin, so f32 rounding can only over-coarsen, never overflow the
+      table). Exactness only needs ``cell >= r``;
+    - dense starts: ``searchsorted`` over a static ``n_cells_pad + 1``
+      arange; invalid points carry the sentinel id ``n_cells_pad`` so they
+      sort past every real cell and the padded table tail reads empty;
+    - ``true_win``: the max 3-cell-run width, returned ON DEVICE so the
+      caller can verify its static window width covered the scan (fetched
+      alongside the outputs it reads anyway — no extra round trip).
+
+    Returns ``(pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims,
+    cell, cell_starts, true_win)`` — the :func:`_grid_query_chunk_impl`
+    operand set plus the width check.
+    """
+    points = jnp.asarray(points)
+    if valid is None:
+        valid = jnp.ones(points.shape[0], bool)
+    big = jnp.asarray(jnp.inf, points.dtype)
+    lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
+    has_pts = jnp.isfinite(lo).all()
+    lo = jnp.where(has_pts, lo, 0.0)
+    hi = jnp.where(has_pts, hi, 0.0)
+
+    cells = jnp.asarray(r, points.dtype) * (
+        2.0 ** jnp.arange(32, dtype=points.dtype)
+    )  # (32,)
+    mins_c = jnp.floor(lo[None] / cells[:, None]) * cells[:, None]  # (32, 3)
+    dims_c = (
+        jnp.floor((hi[None] - mins_c) / cells[:, None]).astype(jnp.int32) + 1
+    )  # (32, 3)
+    log_cells = jnp.sum(jnp.log2(dims_c.astype(points.dtype)), axis=1)
+    feasible = log_cells <= (float(np.log2(n_cells_pad)) - 1e-3)
+    ji = jnp.argmax(feasible)  # feasibility is monotone in the doubling index
+    cell = cells[ji]
+    mins = mins_c[ji]
+    dims = dims_c[ji]
+
+    c = jnp.floor((points - mins) / cell).astype(jnp.int32)
+    c = jnp.clip(c, 0, dims[None] - 1)
+    lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+    ids = jnp.where(valid, lin, jnp.asarray(n_cells_pad, jnp.int32))
+    order = jnp.argsort(ids).astype(jnp.int32)
+    ids_sorted = jnp.take(ids, order)
+    pts_sorted_T = jnp.take(points.T, order, axis=1)
+    valid_sorted = jnp.take(valid, order)
+    cell_starts = jnp.searchsorted(
+        ids_sorted, jnp.arange(n_cells_pad + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    true_win = jnp.max(cell_starts[3:] - cell_starts[:-3])
+    return (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell,
+            cell_starts, true_win)
 
 
 def grid_radius_neighbors(

@@ -31,8 +31,16 @@ __all__ = [
 # max 84 mm vs the f32-exact product), swamping the mm-scale depth biases
 # this framework estimates. Every position-critical contraction pins full
 # f32 precision — these are K=3 contractions, so the extra MXU passes are
-# noise next to the neighborhood work.
-PPREC = jax.lax.Precision.HIGHEST
+# noise next to the neighborhood work. DC_PPREC=default relaxes the pin
+# for perf-attribution A/B runs ONLY (the values are then knowingly
+# bf16-quantized); tests/test_matmul_precision.py guards the default.
+import os as _os
+
+PPREC = (
+    jax.lax.Precision.DEFAULT
+    if _os.environ.get("DC_PPREC", "").lower() == "default"
+    else jax.lax.Precision.HIGHEST
+)
 
 
 def axis_angle_to_matrix(aa: jax.Array) -> jax.Array:

@@ -38,7 +38,7 @@ from .ops.filters import (
 )
 from .ops.grid_hash import GRID_NN_MIN_POINTS, grid_radius_neighbors
 from .ops.knn import nearest_neighbors, radius_neighbors, suggest_k_max
-from .ops.se3 import xyz_axis_angle_to_matrix
+from .ops.se3 import xyz_axis_angle_to_matrix, PPREC
 
 __all__ = [
     "PAD_MULTIPLE",
@@ -370,7 +370,7 @@ def corrected_poses(poses: jax.Array, pose_deltas: Optional[jax.Array]) -> jax.A
         deltas = jnp.broadcast_to(deltas, poses.shape)
     # full-f32 passes: a bf16 pose product perturbs positions ~1 cm at
     # 20 m (ops/se3.py PPREC).
-    return jnp.matmul(poses, deltas, precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(poses, deltas, precision=PPREC)
 
 
 def global_cloud(

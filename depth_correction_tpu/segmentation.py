@@ -17,6 +17,8 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+
+from .ops.se3 import PPREC
 import numpy as np
 
 from .cloud import Cloud
@@ -43,7 +45,7 @@ def _ransac_score(points, valid, key, thresh, num_hypotheses: int):
 
     # Distances: one matmul on the MXU, (N, 3) @ (3, H).
     dist = jnp.abs(
-        jnp.matmul(points, normal.T, precision=jax.lax.Precision.HIGHEST)
+        jnp.matmul(points, normal.T, precision=PPREC)
         + offset[None, :]
     )  # (N, H); full-f32 passes: bf16 would wobble cm-scale thresholds
     inlier = (dist <= thresh) & valid[:, None]
@@ -162,7 +164,7 @@ class Planes:
         (N, 3) @ (3, P) + d."""
         return (
             jnp.matmul(points, self.params[:, :3].T,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=PPREC)
             + self.params[None, :, 3]
         )
 
@@ -172,7 +174,7 @@ class Planes:
         mean_side = jnp.mean(
             jnp.sign(
                 jnp.matmul(vps, self.params[:, :3].T,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=PPREC)
                 + self.params[None, :, 3]
             ), axis=0
         )

@@ -32,6 +32,7 @@ from .models import load_model
 from .ops.knn import nearest_neighbors
 from .ops.reduce import masked_mean, masked_quantile
 from .ops.se3 import (
+    PPREC,
     delta_transform,
     transform_inv,
     transform_points,
@@ -60,9 +61,9 @@ def _icp_step(src_pts, src_valid, tgt_pts, tgt_normals, tgt_valid, inlier_ratio)
     J = jnp.concatenate([jnp.cross(src_pts, n), n], axis=-1)  # (N, 6)
     Jw = J * w[:, None]
     # Normal equations at full f32 (bf16 passes destabilize the 6x6 solve).
-    H = jnp.matmul(Jw.T, J, precision=jax.lax.Precision.HIGHEST) \
+    H = jnp.matmul(Jw.T, J, precision=PPREC) \
         + 1e-9 * jnp.eye(6, dtype=src_pts.dtype)
-    g = jnp.matmul(Jw.T, r, precision=jax.lax.Precision.HIGHEST)
+    g = jnp.matmul(Jw.T, r, precision=PPREC)
     dx = jnp.linalg.solve(H, g)
     # Twist -> SE(3): [rot, trans] ordering in J => [trans, rot] for our 6-vec.
     delta = xyz_axis_angle_to_matrix(jnp.concatenate([dx[3:], dx[:3]]))
@@ -80,7 +81,7 @@ def _icp_align_jit(src_pts, src_valid, tgt_pts, tgt_normals, tgt_valid,
         cur = transform_points(T, src_pts)
         delta, err = _icp_step(cur, src_valid, tgt_pts, tgt_normals, tgt_valid,
                                inlier_ratio)
-        return jnp.matmul(delta, T, precision=jax.lax.Precision.HIGHEST), err
+        return jnp.matmul(delta, T, precision=PPREC), err
     if n_iters == 0:
         return T0, jnp.asarray(jnp.inf, T0.dtype)
     T, errs = jax.lax.scan(body, T0, None, length=n_iters)

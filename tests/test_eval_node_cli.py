@@ -61,10 +61,10 @@ def test_corrector_node_roundtrip(tmp_path):
 
 
 def test_corrector_node_grid_engine_matches_brute(tmp_path):
-    """The staged grid-hash establishment path (the big-scan engine,
-    node.py:correct_cloud) produces the SAME corrected output as the fused
-    brute-force program: identical neighbor sets within r (both exact) ->
-    identical features, masks, and corrected points."""
+    """The fused grid-hash program (the big-scan engine,
+    node.py:_grid_correct_program) produces the SAME corrected output as the
+    fused brute-force program: identical neighbor sets within r (both exact)
+    -> identical features, masks, and corrected points."""
     from depth_correction_tpu.cloud import Cloud
     from depth_correction_tpu.datasets import create_dataset
     from depth_correction_tpu.models import ScaledPolynomial
@@ -93,6 +93,15 @@ def test_corrector_node_grid_engine_matches_brute(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got[1])[keep], np.asarray(ref[1])[keep], rtol=1e-6,
         atol=1e-7)
+
+    # Width-overflow retry: an undersized initial window trips the in-program
+    # true_win flag, retries once at the next pow2, and matches exactly.
+    from depth_correction_tpu.node import _WIDTH_CACHE
+    _WIDTH_CACHE.clear()
+    tiny = correct_cloud(model, cloud, cfg, width=1)
+    np.testing.assert_array_equal(np.asarray(tiny[3]), np.asarray(got[3]))
+    np.testing.assert_array_equal(np.asarray(tiny[0]), np.asarray(got[0]))
+    assert max(_WIDTH_CACHE.values()) > 1  # the retry resized + cached
 
 
 def test_grid_static_shapes_identical_results():

@@ -167,3 +167,73 @@ def test_grid_bucket_cap_exact_when_sized():
     k = max(len(s) for s in want)
     _, idx = grid_radius_neighbors(pts, r=r, k=k + 1, bucket_cap=256)
     assert neighbor_sets(idx) == want
+
+
+def test_grid_establish_traced_matches_ckdtree():
+    """The all-traced establishment (the fused node program's engine,
+    grid_establish_traced) + the chunk kernel reproduce exact cKDTree
+    neighbor sets, including under validity masks and padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_correction_tpu.ops.grid_hash import (
+        _grid_query_chunk_impl,
+        grid_establish_traced,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-3, 3, (2000, 3)).astype(np.float32)
+    valid = rng.uniform(size=2000) > 0.2
+    r, k, n_cells_pad, width = 0.4, 48, 1 << 15, 64
+
+    @jax.jit
+    def program(pts, valid):
+        est = grid_establish_traced(pts, valid, r, n_cells_pad)
+        (pts_T, val_s, ids_s, order, mins, dims, cell, starts, true_win) = est
+        d, idx = _grid_query_chunk_impl(
+            pts, valid, pts_T, val_s, ids_s, order, mins, dims,
+            jnp.asarray(r, pts.dtype) ** 2, k, width, cell, starts)
+        return d, idx, true_win
+
+    d, idx, true_win = program(jnp.asarray(pts), jnp.asarray(valid))
+    assert int(true_win) <= width  # window covered; result is exact
+    tree = cKDTree(pts[valid])
+    idx_map = np.flatnonzero(valid)
+    want = [
+        set(idx_map[b]) if v else set()
+        for b, v in zip(tree.query_ball_point(pts, r), valid)
+    ]
+    assert neighbor_sets(idx) == want
+
+
+def test_grid_establish_traced_coarsens_to_fit_table():
+    """Scenes needing more cells than the static table auto-coarsen the
+    cell in-program (exactness holds for any cell >= r)."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_correction_tpu.ops.grid_hash import (
+        _grid_query_chunk_impl,
+        grid_establish_traced,
+    )
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-40, 40, (800, 3)).astype(np.float32)  # huge extent
+    valid = np.ones(800, bool)
+    r, k, n_cells_pad, width = 0.6, 16, 1 << 9, 64  # tiny table forces it
+
+    @jax.jit
+    def program(pts, valid):
+        est = grid_establish_traced(pts, valid, r, n_cells_pad)
+        (pts_T, val_s, ids_s, order, mins, dims, cell, starts, true_win) = est
+        d, idx = _grid_query_chunk_impl(
+            pts, valid, pts_T, val_s, ids_s, order, mins, dims,
+            jnp.asarray(r, pts.dtype) ** 2, k, width, cell, starts)
+        return idx, true_win, cell, dims
+
+    idx, true_win, cell, dims = program(jnp.asarray(pts), jnp.asarray(valid))
+    assert float(cell) > r  # did coarsen
+    assert int(np.prod(np.asarray(dims, np.int64))) <= n_cells_pad
+    assert int(true_win) <= width
+    want = [set(b) for b in cKDTree(pts).query_ball_point(pts, r)]
+    assert neighbor_sets(idx) == want
