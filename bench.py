@@ -424,7 +424,7 @@ def build_node_scan():
     from depth_correction_tpu.datasets.synthetic import OpenBoxDataset
 
     cfg = bench_config(True)
-    cfg.nn_backend = "grid"
+    cfg.nn_backend = "slab"
     density = int(os.environ.get("DC_BENCH_NODE_DENSITY", "215"))
     ds = OpenBoxDataset(
         name="open_box/n_6_size_20_20_5_height_1_density_%d" % density
@@ -456,7 +456,7 @@ def bench_node(cfg, scan, reps: int = 10, chip_reps: int = 20):
     from depth_correction_tpu.models import ScaledPolynomial
     from depth_correction_tpu.node import (
         NODE_N_CELLS_PAD,
-        _grid_correct_program,
+        _slab_correct_program,
         correct_cloud,
     )
     from depth_correction_tpu.preproc import pad_size
@@ -464,17 +464,13 @@ def bench_node(cfg, scan, reps: int = 10, chip_reps: int = 20):
     model = ScaledPolynomial(w=jnp.asarray([-0.002]),
                              exponent=jnp.asarray([4.0]))
 
-    def one_call(k):
+    def one_call():
         cloud = Cloud.from_structured_array(scan, dtype=jnp.float32)
         cloud = cloud.pad(pad_size(cloud.size))
-        outs = correct_cloud(model, cloud, cfg, k=k)
+        outs = correct_cloud(model, cloud, cfg)
         return jax.device_get(outs)  # one batched fetch
 
-    # Size K once per stream (static per deployment; the reference sizes
-    # its neighborhoods from config the same way): exact cover of the
-    # max within-r degree on the filtered scan, pow2-rounded.
     from depth_correction_tpu.node import _filter_program
-    from depth_correction_tpu.ops.grid_hash import grid_neighbor_counts
 
     cloud = Cloud.from_structured_array(scan, dtype=jnp.float32)
     cloud = cloud.pad(pad_size(cloud.size))
@@ -484,23 +480,22 @@ def bench_node(cfg, scan, reps: int = 10, chip_reps: int = 20):
         max_depth=float(cfg.max_depth or np.inf),
         grid_res=float(cfg.grid_res or 0.0),
     )
-    max_deg = int(jnp.max(grid_neighbor_counts(
-        points, r=float(cfg.nn_r), valid_points=keep, valid_query=keep)))
-    k = 1 << max(int(max_deg - 1).bit_length(), 3)
     n_kept = int(np.asarray(keep).sum())
-    print("[bench] node scan: %d raw -> %d kept points, max degree %d "
-          "-> K=%d" % (len(scan), n_kept, max_deg, k), file=sys.stderr)
+    print("[bench] node scan: %d raw -> %d kept points (slab engine: "
+          "uncapped within-r, no K)" % (len(scan), n_kept), file=sys.stderr)
 
-    outs = one_call(k)  # warmup: compiles + verifies the stream's width
+    outs = one_call()  # warmup: compiles + verifies the stream's width
     from depth_correction_tpu.node import _WIDTH_CACHE
     width = max(_WIDTH_CACHE.values())
+    k = 0  # slab engine is K-free
 
     # --- CHIP: chained dependent program calls, device-resident inputs ---
     statics = dict(
-        k=int(k), width=int(width), n_cells_pad=NODE_N_CELLS_PAD,
+        w_slab=int(width), n_cells_pad=NODE_N_CELLS_PAD,
         nn_r=float(cfg.nn_r), min_depth=float(cfg.min_depth or 0.0),
         max_depth=float(cfg.max_depth or np.inf),
         grid_res=float(cfg.grid_res or 0.0),
+        min_valid=int(cfg.min_valid_neighbors or 1),
         eigval_bounds=tuple(tuple(b) for b in (cfg.eigenvalue_bounds or [])),
         ratio_bounds=tuple(
             tuple(b) for b in (cfg.eigenvalue_ratio_bounds or [])),
@@ -508,14 +503,14 @@ def bench_node(cfg, scan, reps: int = 10, chip_reps: int = 20):
     dev_args = jax.device_put((model, cloud.vps, cloud.dirs, cloud.depth,
                                cloud.valid))
     mdl, vps, dirs, depth, valid = dev_args
-    prev = _grid_correct_program(mdl, vps, dirs, depth, valid, **statics)
+    prev = _slab_correct_program(mdl, vps, dirs, depth, valid, **statics)
     jax.block_until_ready(prev)
     chip_times = []
     for _ in range(3):
         t0 = time.perf_counter()
         tok = prev[-1]
         for _ in range(chip_reps):
-            prev = _grid_correct_program(
+            prev = _slab_correct_program(
                 mdl, vps, dirs, depth + 0.0 * tok.astype(depth.dtype),
                 valid, **statics)
             tok = prev[-1]
@@ -531,7 +526,7 @@ def bench_node(cfg, scan, reps: int = 10, chip_reps: int = 20):
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = one_call(k)
+        outs = one_call()
         times.append(time.perf_counter() - t0)
     del outs
     ms = float(np.median(times) * 1e3)

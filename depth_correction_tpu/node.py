@@ -14,14 +14,17 @@ republish. Here the node boundary becomes a pure jitted function
 Establishment engine (the per-scan neighbor search, the reference's cKDTree
 per callback, depth_cloud.py / nearest_neighbors.py): small scans keep the
 whole correction ONE fused XLA program around the tiled brute-force scan;
-scans >= ``GRID_NN_MIN_POINTS`` (or ``cfg.nn_backend == 'grid'``) fuse the
-grid-hash engine (ops/grid_hash.py, traced establishment) into ONE program
-too, turning the O(N^2) scan into O(N * window) with ZERO mid-scan host
-syncs. The only data-dependent statics — the candidate-window width and the
-dense-starts table size — are sized optimistically and verified by an
-on-device ``true_win`` flag fetched with the outputs; an undersized window
-recompiles once at the next power of two and is cached for the stream
-(:data:`_WIDTH_CACHE`).
+big scans default to the SLAB engine (ops/slabwin.py) — traced cell sort +
+one contiguous dynamic_slice + masked MXU moment matmuls per 128-query
+tile, gather-free and K-free (the reference's uncapped query_ball_point
+objective), still ONE program with ZERO mid-scan host syncs. The
+gather-window program (``cfg.nn_backend == 'grid'``) is kept as the
+K-capped cross-engine oracle; it measured gather-bound at 611 ms/scan on
+chip (131k raw points, v5e) — the redesign exists because of that number.
+Every data-dependent static (slab/window width) is sized optimistically
+and verified by an on-device flag fetched with the outputs; an undersized
+width recompiles once at the next power of two and is cached for the
+stream (:data:`_WIDTH_CACHE`).
 """
 from __future__ import annotations
 
@@ -49,8 +52,10 @@ from .ops.grid_hash import (
     _ceil_pow2,
     _grid_query_chunk_impl,
     grid_establish_traced,
+    grid_sort_traced,
 )
 from .ops.knn import radius_neighbors
+from .ops.slabwin import slab_window_moments
 from .preproc import pad_size
 
 __all__ = ["CloudFilter", "DepthCorrector", "correct_cloud"]
@@ -65,12 +70,18 @@ def _filter_impl(cloud: Cloud, min_depth, max_depth, grid_res):
     return keep
 
 
-def _apply_impl(model, cloud: Cloud, nn, eigval_bounds, ratio_bounds):
-    """Features from an established neighbor table -> masked model apply."""
+def _apply_impl(model, cloud: Cloud, nn, eigval_bounds, ratio_bounds,
+                min_valid=1):
+    """Features from an established neighbor table -> masked model apply.
+    Rows with fewer than ``min_valid`` within-r neighbors keep their RAW
+    depth (degenerate covariances give arbitrary normals; the reference's
+    neighborhood-validity filter, filters.py:146-171)."""
     points = cloud.to_points()
     weights = (nn >= 0).astype(cloud.depth.dtype)
     feats = neighborhood_features(points, nn, weights, dirs=cloud.dirs)
     mask = cloud.valid
+    if min_valid > 1:
+        mask = mask & (jnp.sum(weights, axis=-1) >= min_valid)
     if eigval_bounds:
         mask = mask & filter_eigenvalues_mask(feats["eigvals"], eigval_bounds)
     if ratio_bounds:
@@ -85,7 +96,8 @@ def _apply_impl(model, cloud: Cloud, nn, eigval_bounds, ratio_bounds):
 
 
 @partial(jax.jit, static_argnames=("k", "nn_r", "min_depth", "max_depth",
-                                   "grid_res", "eigval_bounds", "ratio_bounds"))
+                                   "grid_res", "min_valid",
+                                   "eigval_bounds", "ratio_bounds"))
 def _correct_program(
     model,
     vps,
@@ -97,6 +109,7 @@ def _correct_program(
     min_depth: float,
     max_depth: float,
     grid_res: float,
+    min_valid: int,
     eigval_bounds,
     ratio_bounds,
 ):
@@ -110,7 +123,8 @@ def _correct_program(
     points = cloud.to_points()
     _, nn = radius_neighbors(points, points, r=nn_r, k=k,
                              valid_points=keep, valid_query=keep)
-    return _apply_impl(model, cloud, nn, eigval_bounds, ratio_bounds)
+    return _apply_impl(model, cloud, nn, eigval_bounds, ratio_bounds,
+                       min_valid=min_valid)
 
 
 @partial(jax.jit, static_argnames=("min_depth", "max_depth", "grid_res"))
@@ -128,6 +142,7 @@ NODE_N_CELLS_PAD = 1 << 21
 
 @partial(jax.jit, static_argnames=("k", "width", "n_cells_pad", "nn_r",
                                    "min_depth", "max_depth", "grid_res",
+                                   "min_valid",
                                    "eigval_bounds", "ratio_bounds"))
 def _grid_correct_program(
     model,
@@ -142,6 +157,7 @@ def _grid_correct_program(
     min_depth: float,
     max_depth: float,
     grid_res: float,
+    min_valid: int,
     eigval_bounds,
     ratio_bounds,
 ):
@@ -172,8 +188,85 @@ def _grid_correct_program(
         for i in range(0, q.shape[0], _QUERY_CHUNK)
     ]
     nn = jnp.concatenate([o[1] for o in outs])[:n]
-    return _apply_impl(model, cloud, nn, eigval_bounds, ratio_bounds) + (
-        true_win,)
+    return _apply_impl(model, cloud, nn, eigval_bounds, ratio_bounds,
+                       min_valid=min_valid) + (true_win,)
+
+
+def _apply_from_moments(model, cloud: Cloud, mean, comps, w_sum,
+                        eigval_bounds, ratio_bounds, min_valid=1):
+    """Feature tail + masked model apply straight from neighborhood
+    moments (no nn table): eigenvalues/normals/incidence angles in
+    component form — the same math as ops/features.py's fused fast path
+    (features.py:730-745)."""
+    from .ops.eigh3 import _eigvec_c, eigvals3_c
+
+    del mean  # moments beyond the covariance are not needed downstream
+    l1, l2, l3 = eigvals3_c(*comps)
+    eigvals = jnp.stack([l1, l2, l3], axis=-1)
+    dirs = cloud.dirs
+    vx, vy, vz = _eigvec_c(*comps, jax.lax.stop_gradient(l1))
+    cos = dirs[..., 0] * vx + dirs[..., 1] * vy + dirs[..., 2] * vz
+    sign = -jnp.sign(cos)
+    normals = jnp.stack([vx * sign, vy * sign, vz * sign], -1)
+    inc_angles = jnp.arccos(jnp.clip(jnp.abs(cos), 0.0, 1.0))
+    mask = cloud.valid
+    if min_valid > 1:
+        mask = mask & (w_sum >= min_valid)
+    if eigval_bounds:
+        mask = mask & filter_eigenvalues_mask(eigvals, eigval_bounds)
+    if ratio_bounds:
+        mask = mask & filter_eigenvalue_ratios_mask(eigvals, ratio_bounds)
+    cloud = cloud.replace(inc_angles=inc_angles, normals=normals, mask=mask)
+    corrected = model.apply(cloud)
+    return (corrected.to_points(), corrected.depth, normals, mask,
+            cloud.valid)
+
+
+@partial(jax.jit, static_argnames=("w_slab", "n_cells_pad", "nn_r",
+                                   "min_depth", "max_depth", "grid_res",
+                                   "min_valid",
+                                   "eigval_bounds", "ratio_bounds"))
+def _slab_correct_program(
+    model,
+    vps,
+    dirs,
+    depth,
+    valid,
+    w_slab: int,
+    n_cells_pad: int,
+    nn_r: float,
+    min_depth: float,
+    max_depth: float,
+    grid_res: float,
+    min_valid: int,
+    eigval_bounds,
+    ratio_bounds,
+):
+    """The STREAMING big-scan forward pass: ONE XLA program with NO
+    gather-windows and NO K cap — filters -> traced cell sort -> slab-window
+    moments (ops/slabwin.py: one dynamic_slice + masked MXU moments per
+    128-query tile) -> features -> masked correction. The reference per
+    callback: scripts/depth_correction:31-58 (cKDTree query_ball_point +
+    torch features); the trailing ``max_w`` scalar is the slab-width
+    coverage flag (w_slab must be >= it for exact moments)."""
+    cloud = Cloud(vps=vps, dirs=dirs, depth=depth, valid=valid)
+    keep = _filter_impl(cloud, min_depth, max_depth, grid_res)
+    cloud = cloud.replace(valid=keep)
+    points = cloud.to_points()
+    (pts_T, valid_s, ids_s, order, mins, dims, cell) = grid_sort_traced(
+        points, keep, nn_r, n_cells_pad, sort_axes=True)
+    mean_s, comps_s, wsum_s, max_w = slab_window_moments(
+        pts_T, valid_s, ids_s, dims, float(nn_r) ** 2, w_slab, n_cells_pad)
+    # Unsort the 10 moment rows back to original point order in one gather.
+    inv = jnp.argsort(order).astype(jnp.int32)
+    packed = jnp.concatenate([mean_s, jnp.stack(comps_s), wsum_s[None]], 0)
+    packed = jnp.take(packed, inv, axis=1)
+    mean = packed[0:3]
+    comps = (packed[3], packed[4], packed[5], packed[6], packed[7],
+             packed[8])
+    return _apply_from_moments(model, cloud, mean, comps, packed[9],
+                               eigval_bounds, ratio_bounds,
+                               min_valid=min_valid) + (max_w,)
 
 
 def _freeze_bounds(bounds):
@@ -191,46 +284,62 @@ def correct_cloud(model, cloud: Cloud, cfg: Config, k: Optional[int] = None,
     """Pure API: correct one (padded) cloud; returns (points, depth, normals,
     mask, valid).
 
-    Establishment routes like training prep (preproc.py:278-289): the fused
-    grid-hash program for big scans / ``cfg.nn_backend == 'grid'``, the fused
-    brute-force program otherwise (``'brute'`` forces it). Either way the
-    scan is ONE device dispatch; the grid path verifies its optimistic
-    static window width via the program's ``true_win`` output and retries
+    Engine routing (``cfg.nn_backend``): big scans default to the SLAB
+    engine (``'slab'``; gather-free slab-window moments, no K cap — the
+    reference's uncapped query_ball_point semantics); ``'grid'`` forces the
+    gather-window program (K-capped, kept as the cross-engine oracle);
+    ``'brute'`` forces the fused O(N^2) scan (also the small-scan default).
+    Every engine is ONE device dispatch; the slab/grid paths verify their
+    optimistic static width via the program's trailing scalar and retry
     once at the next power of two when a scan overflows it (``width``
     overrides the initial guess)."""
     k = k or cfg.nn_max_neighbors or 32
     backend = getattr(cfg, "nn_backend", None)
     n = cloud.vps.shape[0]
-    use_grid = backend == "grid" or (
-        backend not in ("brute",) and n >= GRID_NN_MIN_POINTS
-    )
+    if backend not in ("brute", "grid", "slab"):
+        backend = "slab" if n >= GRID_NN_MIN_POINTS else "brute"
     common = dict(
         min_depth=float(cfg.min_depth or 0.0),
         max_depth=float(cfg.max_depth or np.inf),
         grid_res=float(cfg.grid_res or 0.0),
+        min_valid=int(cfg.min_valid_neighbors or 1),
     )
     bounds = dict(
         eigval_bounds=_freeze_bounds(cfg.eigenvalue_bounds),
         ratio_bounds=_freeze_bounds(cfg.eigenvalue_ratio_bounds),
     )
-    if not use_grid:
+    if backend == "brute":
         return _correct_program(
             model, cloud.vps, cloud.dirs, cloud.depth, cloud.valid,
             k=int(k), nn_r=float(cfg.nn_r), **common, **bounds,
         )
-    key = (n, int(k), float(cfg.nn_r), common["grid_res"])
-    width = int(width or _WIDTH_CACHE.get(key) or _ceil_pow2(max(2 * k, 32)))
+    key = (backend, n, int(k), float(cfg.nn_r), common["grid_res"])
+    if backend == "grid":
+        width = int(width or _WIDTH_CACHE.get(key)
+                    or _ceil_pow2(max(2 * k, 32)))
+        while True:
+            *outs, true_win = _grid_correct_program(
+                model, cloud.vps, cloud.dirs, cloud.depth, cloud.valid,
+                k=int(k), width=width, n_cells_pad=NODE_N_CELLS_PAD,
+                nn_r=float(cfg.nn_r), **common, **bounds,
+            )
+            true_win = int(true_win)
+            if true_win <= width:
+                _WIDTH_CACHE[key] = max(_WIDTH_CACHE.get(key, 0), width)
+                return tuple(outs)
+            width = _ceil_pow2(true_win)
+    width = int(width or _WIDTH_CACHE.get(key) or 2048)
     while True:
-        *outs, true_win = _grid_correct_program(
+        *outs, max_w = _slab_correct_program(
             model, cloud.vps, cloud.dirs, cloud.depth, cloud.valid,
-            k=int(k), width=width, n_cells_pad=NODE_N_CELLS_PAD,
+            w_slab=width, n_cells_pad=NODE_N_CELLS_PAD,
             nn_r=float(cfg.nn_r), **common, **bounds,
         )
-        true_win = int(true_win)
-        if true_win <= width:
+        max_w = int(max_w)
+        if max_w <= width:
             _WIDTH_CACHE[key] = max(_WIDTH_CACHE.get(key, 0), width)
             return tuple(outs)
-        width = _ceil_pow2(true_win)
+        width = _ceil_pow2(max_w)
 
 
 class CloudFilter:

@@ -39,6 +39,7 @@ __all__ = [
     "grid_neighbor_counts",
     "grid_occupancy",
     "grid_establish_traced",
+    "grid_sort_traced",
 ]
 
 _QUERY_CHUNK = 32768
@@ -255,6 +256,30 @@ def grid_establish_traced(points, valid, r: float, n_cells_pad: int):
     cell, cell_starts, true_win)`` — the :func:`_grid_query_chunk_impl`
     operand set plus the width check.
     """
+    (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims,
+     cell) = grid_sort_traced(points, valid, r, n_cells_pad)
+    cell_starts = jnp.searchsorted(
+        ids_sorted, jnp.arange(n_cells_pad + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    true_win = jnp.max(cell_starts[3:] - cell_starts[:-3])
+    return (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell,
+            cell_starts, true_win)
+
+
+def grid_sort_traced(points, valid, r: float, n_cells_pad: int,
+                     sort_axes: bool = False):
+    """The traced grid SORT shared by the establishment variants: bbox,
+    in-program cell coarsening (see :func:`grid_establish_traced`), cell
+    ids with the ``n_cells_pad`` sentinel on invalid rows, one argsort.
+
+    :param sort_axes: relabel the grid axes by DESCENDING extent (a traced
+        (3,) permutation of dims and of the id mixed radix — point
+        coordinates are untouched) so the major id axis is the longest one:
+        slab-range consumers (ops/slabwin.py) then slice the thinnest
+        possible slabs on any scene orientation.
+    Returns (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims,
+    cell); ``dims`` is in the (possibly relabeled) id axis order.
+    """
     points = jnp.asarray(points)
     if valid is None:
         valid = jnp.ones(points.shape[0], bool)
@@ -281,18 +306,17 @@ def grid_establish_traced(points, valid, r: float, n_cells_pad: int):
 
     c = jnp.floor((points - mins) / cell).astype(jnp.int32)
     c = jnp.clip(c, 0, dims[None] - 1)
+    if sort_axes:
+        perm = jnp.argsort(-dims)  # traced (3,) axis relabeling
+        dims = jnp.take(dims, perm)
+        c = jnp.take(c, perm, axis=1)
     lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
     ids = jnp.where(valid, lin, jnp.asarray(n_cells_pad, jnp.int32))
     order = jnp.argsort(ids).astype(jnp.int32)
     ids_sorted = jnp.take(ids, order)
     pts_sorted_T = jnp.take(points.T, order, axis=1)
     valid_sorted = jnp.take(valid, order)
-    cell_starts = jnp.searchsorted(
-        ids_sorted, jnp.arange(n_cells_pad + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
-    true_win = jnp.max(cell_starts[3:] - cell_starts[:-3])
-    return (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell,
-            cell_starts, true_win)
+    return pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell
 
 
 def grid_radius_neighbors(

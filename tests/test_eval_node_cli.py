@@ -103,6 +103,39 @@ def test_corrector_node_grid_engine_matches_brute(tmp_path):
     np.testing.assert_array_equal(np.asarray(tiny[0]), np.asarray(got[0]))
     assert max(_WIDTH_CACHE.values()) > 1  # the retry resized + cached
 
+    # SLAB engine (the streaming default for big scans): same membership
+    # (bit-compatible d2), one-pass tile-shifted moments -> identical masks
+    # and corrected points to f32 rounding. The slab engine is UNCAPPED
+    # (reference query_ball_point semantics); the brute oracle must get a
+    # K that covers the max within-r degree for the sets to coincide.
+    cfg.nn_backend = "brute"
+    ref = correct_cloud(model, cloud, cfg, k=128)
+    cfg.nn_backend = "slab"
+    slab = correct_cloud(model, cloud, cfg)
+    np.testing.assert_array_equal(np.asarray(slab[4]), keep)
+    np.testing.assert_array_equal(np.asarray(slab[3]), np.asarray(ref[3]))
+    np.testing.assert_allclose(
+        np.asarray(slab[0])[keep], np.asarray(ref[0])[keep], rtol=1e-5,
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(slab[1])[keep], np.asarray(ref[1])[keep], rtol=1e-5,
+        atol=1e-6)
+    # normals agree up to f32 eigenvector rounding on MASKED rows (below
+    # min_valid_neighbors the covariance is degenerate and the eigenvector
+    # arbitrary — those rows are masked and left uncorrected)
+    msk = np.asarray(slab[3])
+    np.testing.assert_allclose(
+        np.asarray(slab[2])[msk], np.asarray(ref[2])[msk], rtol=1e-3,
+        atol=1e-4)
+
+    # Slab-width overflow retry.
+    _WIDTH_CACHE.clear()
+    slab2 = correct_cloud(model, cloud, cfg, width=8)
+    np.testing.assert_array_equal(np.asarray(slab2[3]), np.asarray(slab[3]))
+    np.testing.assert_allclose(
+        np.asarray(slab2[0]), np.asarray(slab[0]), rtol=1e-6, atol=1e-7)
+    assert max(_WIDTH_CACHE.values()) > 8
+
 
 def test_grid_static_shapes_identical_results():
     """static_shapes=True (the streaming node's recompile guard,
