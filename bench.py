@@ -426,10 +426,21 @@ def build_node_scan():
     cfg = bench_config(True)
     cfg.nn_backend = "slab"
     density = int(os.environ.get("DC_BENCH_NODE_DENSITY", "215"))
+    # The raw-scan build is ~10 min of host work; cache it next to the
+    # bench workload cache for fast step-time iteration (same contract as
+    # DC_BENCH_CACHE: the canonical driver run builds fresh).
+    cache = os.environ.get("DC_BENCH_CACHE")
+    cache = cache + ".nodescan%d.npy" % density if cache else None
+    if cache and os.path.exists(cache):
+        print("[bench] node scan loaded from %s" % cache, file=sys.stderr)
+        return cfg, np.load(cache)
     ds = OpenBoxDataset(
         name="open_box/n_6_size_20_20_5_height_1_density_%d" % density
     )
-    return cfg, ds.local_cloud(0)
+    scan = ds.local_cloud(0)
+    if cache:
+        np.save(cache, scan)
+    return cfg, scan
 
 
 def bench_node(cfg, scan, reps: int = 10, chip_reps: int = 20):

@@ -253,14 +253,36 @@ def _slab_correct_program(
     keep = _filter_impl(cloud, min_depth, max_depth, grid_res)
     cloud = cloud.replace(valid=keep)
     points = cloud.to_points()
-    (pts_T, valid_s, ids_s, order, mins, dims, cell) = grid_sort_traced(
-        points, keep, nn_r, n_cells_pad, sort_axes=True)
-    mean_s, comps_s, wsum_s, max_w = slab_window_moments(
-        pts_T, valid_s, ids_s, dims, float(nn_r) ** 2, w_slab, n_cells_pad)
-    # Unsort the 10 moment rows back to original point order in one gather.
-    inv = jnp.argsort(order).astype(jnp.int32)
-    packed = jnp.concatenate([mean_s, jnp.stack(comps_s), wsum_s[None]], 0)
-    packed = jnp.take(packed, inv, axis=1)
+
+    # TWO passes with complementary major axes: a surface PERPENDICULAR to
+    # one slab axis packs into a single slab (the open-box walls measured
+    # width 16384 where typical tiles need ~2k), but every plane is thin
+    # along at least one of the two longest grid axes — per query we select
+    # the pass whose tile range fit the static width.
+    def one_pass(axes):
+        (pts_T, valid_s, ids_s, order, mins, dims, cell) = grid_sort_traced(
+            points, keep, nn_r, n_cells_pad, sort_axes=axes)
+        mean_s, comps_s, wsum_s, widths = slab_window_moments(
+            pts_T, valid_s, ids_s, dims, float(nn_r) ** 2, w_slab,
+            n_cells_pad)
+        from .ops.slabwin import TILE
+
+        w_of_slot = jnp.repeat(widths, TILE)  # (N,) tile width per slot
+        inv = jnp.argsort(order).astype(jnp.int32)
+        packed = jnp.concatenate(
+            [mean_s, jnp.stack(comps_s), wsum_s[None],
+             w_of_slot[None].astype(pts_T.dtype)], 0)
+        return jnp.take(packed, inv, axis=1)  # (11, N) in original order
+
+    pa = one_pass("major")
+    pb = one_pass("second")
+    wa = pa[10]
+    wb = pb[10]
+    use_a = wa <= w_slab
+    packed = jnp.where(use_a[None], pa, pb)
+    # Retry signal: the best achievable width per query; exact iff
+    # max_q min(wa, wb) <= w_slab.
+    max_w = jnp.max(jnp.minimum(wa, wb)).astype(jnp.int32)
     mean = packed[0:3]
     comps = (packed[3], packed[4], packed[5], packed[6], packed[7],
              packed[8])
@@ -382,9 +404,9 @@ class DepthCorrector:
             else Cloud.from_points(scan, dtype=self.cfg.jax_float_type())
         )
         cloud = cloud.pad(pad_size(cloud.size))
-        points, depth, normals, mask, valid = correct_cloud(
-            self.model, cloud, self.cfg, k=self.k
-        )
+        points, depth, normals, mask, valid = jax.device_get(
+            correct_cloud(self.model, cloud, self.cfg, k=self.k)
+        )  # one batched device->host fetch
         keep = np.asarray(valid)
         out = np.zeros(
             int(keep.sum()),

@@ -272,11 +272,12 @@ def grid_sort_traced(points, valid, r: float, n_cells_pad: int,
     in-program cell coarsening (see :func:`grid_establish_traced`), cell
     ids with the ``n_cells_pad`` sentinel on invalid rows, one argsort.
 
-    :param sort_axes: relabel the grid axes by DESCENDING extent (a traced
-        (3,) permutation of dims and of the id mixed radix — point
-        coordinates are untouched) so the major id axis is the longest one:
-        slab-range consumers (ops/slabwin.py) then slice the thinnest
-        possible slabs on any scene orientation.
+    :param sort_axes: relabel the grid axes (a traced (3,) permutation of
+        dims and of the id mixed radix — point coordinates are untouched)
+        so slab-range consumers (ops/slabwin.py) slice thin slabs:
+        ``'major'``/True puts the LONGEST extent first; ``'second'`` puts
+        the second-longest first (the complementary pass — any plane is
+        thin along at least one of the two).
     Returns (pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims,
     cell); ``dims`` is in the (possibly relabeled) id axis order.
     """
@@ -308,6 +309,8 @@ def grid_sort_traced(points, valid, r: float, n_cells_pad: int,
     c = jnp.clip(c, 0, dims[None] - 1)
     if sort_axes:
         perm = jnp.argsort(-dims)  # traced (3,) axis relabeling
+        if sort_axes == "second":
+            perm = jnp.take(perm, jnp.asarray([1, 0, 2]))
         dims = jnp.take(dims, perm)
         c = jnp.take(c, perm, axis=1)
     lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]

@@ -52,9 +52,10 @@ def slab_window_moments(pts_T, valid, ids_sorted, dims, r2, w_slab: int,
     :param w_slab: static slab-range width (candidates per tile).
     :param sentinel: the invalid-row id (== n_cells_pad of the sort).
     :return: (mean (3, N), comps 6-tuple of (N,), w_sum (N,),
-        max_w scalar int32) — comps are the covariance components
-        (c00, c11, c22, c01, c02, c12); ``max_w`` must be <= w_slab for
-        the moments to be exact (the caller's overflow flag).
+        widths (T,) int32) — comps are the covariance components
+        (c00, c11, c22, c01, c02, c12); a tile's moments are exact iff
+        its width <= w_slab (the caller's per-tile coverage / overflow
+        signal — two-pass callers select per query on it).
     """
     n = pts_T.shape[1]
     assert n % TILE == 0, n
@@ -76,7 +77,6 @@ def slab_window_moments(pts_T, valid, ids_sorted, dims, r2, w_slab: int,
     hi = jnp.searchsorted(ids_sorted, bhi).astype(jnp.int32)
     lo = jnp.where(has, lo, 0)
     width = jnp.where(has, hi - lo, 0)
-    max_w = jnp.max(width)
 
     # Candidate table with a w_slab zero tail so every slice is in bounds;
     # row 3 carries validity (positions are finite everywhere, so masked
@@ -156,4 +156,4 @@ def slab_window_moments(pts_T, valid, ids_sorted, dims, r2, w_slab: int,
     ys = ys.transpose(1, 0, 2).reshape(10, n)
     mean = ys[0:3]
     comps = (ys[3], ys[4], ys[5], ys[6], ys[7], ys[8])
-    return mean, comps, ys[9], max_w
+    return mean, comps, ys[9], width

@@ -202,3 +202,53 @@ def test_cli_print_config_and_splits(capsys, tmp_path):
         assert s["val_names"][0] not in s["train_names"]
         assert s["test_names"][0] not in s["train_names"]
         assert s["val_names"] != s["test_names"]
+
+
+def test_slab_engine_two_pass_covers_walls(tmp_path):
+    """A surface PERPENDICULAR to the major sort axis packs into one slab
+    (the open-box walls measured width 16384 on TPU); the second pass
+    (second-longest axis major) covers those queries with thin slabs, so
+    the cached width stays far below the wall size while results remain
+    exact vs the brute oracle."""
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.node import _WIDTH_CACHE, correct_cloud
+    from depth_correction_tpu.preproc import pad_size
+
+    rng = np.random.default_rng(5)
+    # Dense wall at x = 0 spanning y-z (thin in x), plus sparse volume.
+    wall = np.stack([
+        np.zeros(3000),
+        rng.uniform(0, 8, 3000),
+        rng.uniform(0, 4, 3000),
+    ], 1)
+    vol = rng.uniform([-4, 0, 0], [4, 8, 4], (1500, 3))
+    pts = np.concatenate([wall, vol]).astype(np.float32)
+    vps = pts - np.array([5.0, 0.0, 0.0], np.float32)  # views from -x
+
+    cfg = small_cfg(tmp_path)
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 50.0, 0.0
+    cfg.nn_r = 0.25
+
+    cloud = Cloud.from_points(pts, vps=jnp.asarray(vps),
+                              dtype=jnp.float32)
+    cloud = cloud.pad(pad_size(cloud.size))
+    model = ScaledPolynomial(w=jnp.asarray([-0.002]),
+                             exponent=jnp.asarray([4.0]))
+
+    cfg.nn_backend = "brute"
+    ref = correct_cloud(model, cloud, cfg, k=256)
+    cfg.nn_backend = "slab"
+    _WIDTH_CACHE.clear()
+    slab = correct_cloud(model, cloud, cfg, width=1024)
+    slab_w = max(w for (bk, *_), w in _WIDTH_CACHE.items() if bk == "slab")
+    assert slab_w < 3000  # pass B covered the wall with thin slabs
+    keep = np.asarray(ref[4])
+    np.testing.assert_array_equal(np.asarray(slab[4]), keep)
+    msk = np.asarray(slab[3]) & np.asarray(ref[3])
+    # 0.1 mm: f32 eigenvector sensitivity on dense wall neighborhoods
+    # (one-pass vs two-pass covariance), two orders below the mm-to-cm
+    # biases the model corrects.
+    np.testing.assert_allclose(
+        np.asarray(slab[0])[msk], np.asarray(ref[0])[msk], rtol=1e-5,
+        atol=1e-4)
