@@ -653,15 +653,28 @@ def _moment_dot(a, b, dt):
             jnp.float32,
         )
 
-    out = None
+    # STACK the split components into ONE streaming matmul: the per-dot
+    # cost at these shapes is pipeline fill (K=S lanes) plus the handful of
+    # streamed M rows, so k separate (16, S) dots pay the fill k times
+    # while one (k*16, S) dot pays it once and streams 3x the rows
+    # (r5 roofline: the kernels are compute-bound, DMA ~free). Summing the
+    # k output blocks afterwards reproduces the separate dots bit-exactly
+    # (identical per-row products, identical add order).
+    parts = []
     rem = a
     for _ in range(n_split - 1):
         hi = hi_bits(rem)
-        part = jnp.dot(hi, b, preferred_element_type=dt)
-        out = part if out is None else out + part
+        parts.append(hi)
         rem = rem - hi
     # The MXU's own bf16 rounding of the final remainder IS the error term.
-    return out + jnp.dot(rem, b, preferred_element_type=dt)
+    parts.append(rem)
+    m = a.shape[0]
+    stacked = jnp.concatenate(parts, axis=0)
+    out3 = jnp.dot(stacked, b, preferred_element_type=dt)
+    out = out3[0:m]
+    for i in range(1, n_split):
+        out = out + out3[i * m : (i + 1) * m]
+    return out
 
 
 def _span_iota(s, dtype=jnp.int32):

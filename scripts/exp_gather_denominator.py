@@ -43,6 +43,34 @@ def main():
     data = jax.tree_util.tree_map(jnp.asarray, data_np)
     cfg = cfg.copy()
     cfg.moments_backend = "gather"  # the A/B denominator engine
+    # The loss fn routes per-sequence on data.cellwin, NOT on cfg (a first
+    # version of this harness set only cfg and silently re-measured the
+    # cellwin engine): null the cellwin structures and rebuild the gather
+    # backward's transpose graphs, which auto-cellwin prep skips.
+    if any(cw is not None for cw in (getattr(data, "cellwin", ()) or ())):
+        import dataclasses
+
+        from depth_correction_tpu.ops.features import (
+            build_bucketed_transpose_device,
+        )
+
+        new_t = []
+        for i, nn in enumerate(data.neighbors):
+            m = int(np.prod(np.asarray(data.batches[i].cloud.depth).shape))
+            tg = build_bucketed_transpose_device(
+                nn, num_points=m, weights=data.weights[i]
+            )
+            pairs = sum(int(np.prod(np.asarray(b).shape)) for b in tg.idx)
+            print("[denom] seq %d: %d fwd indices, %d transpose pairs"
+                  % (i, int(np.prod(np.asarray(nn).shape)), pairs),
+                  flush=True)
+            new_t.append(tg)
+        data = dataclasses.replace(
+            data,
+            cellwin=(None,) * len(data.cellwin),
+            t_neighbors=tuple(new_t),
+            t_slots=(None,) * len(new_t),
+        )
     loss_fn = make_loss_fn(cfg)
     params = {"model": ScaledPolynomial(w=jnp.zeros(1),
                                         exponent=jnp.asarray([4.0]))}

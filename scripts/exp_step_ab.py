@@ -64,7 +64,10 @@ def main():
     from depth_correction_tpu.ops.features import build_bucketed_transpose
     from depth_correction_tpu.train import make_loss_fn
 
-    cfg, data, _ = build_workload()
+    # DC_STEP_AB_MODE=capped|uncapped (default capped: the gather-engine
+    # continuity graph this harness family historically measured).
+    uncapped = os.environ.get("DC_STEP_AB_MODE", "capped") == "uncapped"
+    cfg, data, _ = build_workload(uncapped)
 
     new_t = []
     for i, nn in enumerate(data.neighbors):

@@ -21,9 +21,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = int(os.environ.get("DC_WPAR_STEPS", "100"))
+# 'both' (default), 'ours' (TPU side only), or 'torch' (CPU side only —
+# runs WITHOUT touching a TPU backend, so the ~1 h torch-f64 loop does not
+# hold the single TPU process slot).
+SIDE = os.environ.get("DC_WPAR_SIDE", "both")
 
 
 def main():
+    if SIDE == "torch":
+        run_torch_side()
+        return
     import jax
     import jax.numpy as jnp
     import optax
@@ -67,18 +74,33 @@ def main():
     print("[wpar] ours: %d steps in %.1f s, w=%.9e, loss=%.6e"
           % (1 + STEPS, time.perf_counter() - t0, w_ours, loss_ours),
           flush=True)
-
-    t0 = time.perf_counter()
-    ms, loss0_t, w_t = bench.bench_torch_baseline(cfg, data, steps=STEPS)
-    print("[wpar] torch-f64: %d steps in %.1f s (%.0f ms/step), w=%.9e"
-          % (1 + STEPS, time.perf_counter() - t0, ms, w_t), flush=True)
-
     for it, w in traj:
         print("[wpar]   ours w@%3d = %.9e" % (it, float(np.asarray(w)[0])),
               flush=True)
+    if SIDE == "ours":
+        print("OURS W %d STEPS: %.9e" % (1 + STEPS, w_ours), flush=True)
+        return
+
+    w_t = run_torch_side()
     rel = abs(w_ours - w_t) / max(abs(w_t), 1e-30)
     print("W PARITY 100 STEPS: ours %.9e vs torch-f64 %.9e -> rel err %.3e"
           % (w_ours, w_t, rel), flush=True)
+
+
+def run_torch_side() -> float:
+    """torch-f64 trajectory on the cached workload, numpy-only inputs
+    (no JAX backend is initialized on this path)."""
+    import bench
+
+    cache = os.environ.get("DC_BENCH_CACHE", "/tmp/bench_workload.pkl")
+    with open(cache + ".uncapped", "rb") as f:
+        cfg, data_np, _full_nn = pickle.load(f)
+    t0 = time.perf_counter()
+    ms, _loss0_t, w_t = bench.bench_torch_baseline(cfg, data_np, steps=STEPS)
+    print("[wpar] torch-f64: %d steps in %.1f s (%.0f ms/step)"
+          % (1 + STEPS, time.perf_counter() - t0, ms), flush=True)
+    print("TORCH W %d STEPS: %.9e" % (1 + STEPS, w_t), flush=True)
+    return w_t
 
 
 if __name__ == "__main__":
