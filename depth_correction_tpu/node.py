@@ -52,7 +52,7 @@ from .ops.grid_hash import (
     _ceil_pow2,
     _grid_query_chunk_impl,
     grid_establish_traced,
-    grid_sort_traced,
+    grid_sort_colpad_traced,
 )
 from .ops.knn import radius_neighbors
 from .ops.slabwin import slab_window_moments
@@ -138,6 +138,9 @@ def _filter_program(vps, dirs, depth, valid, min_depth, max_depth, grid_res):
 # int32 on HBM; scans whose extent needs more cells auto-coarsen in-program
 # (grid_establish_traced), preserving exactness.
 NODE_N_CELLS_PAD = 1 << 21
+# Max major-axis columns for the slab engine's column-aligned layout
+# (grid_sort_colpad_traced): +128 slots of padding per column worst case.
+NODE_X_COLS_PAD = 512
 
 
 @partial(jax.jit, static_argnames=("k", "width", "n_cells_pad", "nn_r",
@@ -243,46 +246,31 @@ def _slab_correct_program(
     ratio_bounds,
 ):
     """The STREAMING big-scan forward pass: ONE XLA program with NO
-    gather-windows and NO K cap — filters -> traced cell sort -> slab-window
-    moments (ops/slabwin.py: one dynamic_slice + masked MXU moments per
-    128-query tile) -> features -> masked correction. The reference per
-    callback: scripts/depth_correction:31-58 (cKDTree query_ball_point +
-    torch features); the trailing ``max_w`` scalar is the slab-width
-    coverage flag (w_slab must be >= it for exact moments)."""
+    gather-windows and NO K cap — filters -> traced column-aligned cell
+    sort -> slab-window moments (ops/slabwin.py: three y-window
+    dynamic_slices + masked MXU moments per 128-query tile) -> features ->
+    masked correction. The reference per callback:
+    scripts/depth_correction:31-58 (cKDTree query_ball_point + torch
+    features); the trailing ``max_w`` scalar is the span-width coverage
+    flag (w_slab must be >= it for exact moments). A first generation ran
+    TWO whole-slab passes with complementary major axes; wall-parallel
+    surfaces still packed into single slabs on both (measured width 16384,
+    106 of 113 ms/scan) — the per-tile y-windows replace both passes."""
     cloud = Cloud(vps=vps, dirs=dirs, depth=depth, valid=valid)
     keep = _filter_impl(cloud, min_depth, max_depth, grid_res)
     cloud = cloud.replace(valid=keep)
     points = cloud.to_points()
 
-    # TWO passes with complementary major axes: a surface PERPENDICULAR to
-    # one slab axis packs into a single slab (the open-box walls measured
-    # width 16384 where typical tiles need ~2k), but every plane is thin
-    # along at least one of the two longest grid axes — per query we select
-    # the pass whose tile range fit the static width.
-    def one_pass(axes):
-        (pts_T, valid_s, ids_s, order, mins, dims, cell) = grid_sort_traced(
-            points, keep, nn_r, n_cells_pad, sort_axes=axes)
-        mean_s, comps_s, wsum_s, widths = slab_window_moments(
-            pts_T, valid_s, ids_s, dims, float(nn_r) ** 2, w_slab,
-            n_cells_pad)
-        from .ops.slabwin import TILE
-
-        w_of_slot = jnp.repeat(widths, TILE)  # (N,) tile width per slot
-        inv = jnp.argsort(order).astype(jnp.int32)
-        packed = jnp.concatenate(
-            [mean_s, jnp.stack(comps_s), wsum_s[None],
-             w_of_slot[None].astype(pts_T.dtype)], 0)
-        return jnp.take(packed, inv, axis=1)  # (11, N) in original order
-
-    pa = one_pass("major")
-    pb = one_pass("second")
-    wa = pa[10]
-    wb = pb[10]
-    use_a = wa <= w_slab
-    packed = jnp.where(use_a[None], pa, pb)
-    # Retry signal: the best achievable width per query; exact iff
-    # max_q min(wa, wb) <= w_slab.
-    max_w = jnp.max(jnp.minimum(wa, wb)).astype(jnp.int32)
+    (pts_pad_T, valid_pad, ids_pad, slot_of_orig, mins, dims,
+     cell) = grid_sort_colpad_traced(
+        points, keep, nn_r, n_cells_pad, x_cols_pad=NODE_X_COLS_PAD)
+    mean_s, comps_s, wsum_s, widths = slab_window_moments(
+        pts_pad_T, valid_pad, ids_pad, dims, float(nn_r) ** 2, w_slab,
+        n_cells_pad)
+    packed = jnp.concatenate(
+        [mean_s, jnp.stack(comps_s), wsum_s[None]], 0)  # (10, n_pad)
+    packed = jnp.take(packed, slot_of_orig, axis=1)  # (10, N) original
+    max_w = jnp.max(widths).astype(jnp.int32)
     mean = packed[0:3]
     comps = (packed[3], packed[4], packed[5], packed[6], packed[7],
              packed[8])

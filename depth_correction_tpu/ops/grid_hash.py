@@ -322,6 +322,120 @@ def grid_sort_traced(points, valid, r: float, n_cells_pad: int,
     return pts_sorted_T, valid_sorted, ids_sorted, order, mins, dims, cell
 
 
+def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
+                            x_cols_pad: int = 512):
+    """Column-aligned traced sort for the slab engine (ops/slabwin.py).
+
+    Like :func:`grid_sort_traced` with the LONGEST axis major, but every
+    major-axis column's sorted run starts at a 128-multiple slot — so the
+    slab engine's fixed 128-query tiles never cross a column and their
+    per-tile second-axis (y) windows stay tight (a tile straddling two
+    columns would otherwise see y wrap from ny-1 back to 0 and widen its
+    window to the whole slab; measured w_slab 16384 vs ~1k on the bench
+    scan). The feasibility scan additionally bounds the major dim to
+    ``x_cols_pad`` columns (over-coarsening pencil-shaped scenes keeps
+    exactness: only ``cell >= r`` matters).
+
+    :return: ``(pts_pad_T (3, n_pad), valid_pad, ids_pad, slot_of_orig,
+        mins, dims, cell)`` with ``n_pad = N + 128 * x_cols_pad`` (static);
+        ``slot_of_orig`` maps each ORIGINAL row to its padded slot (the
+        scatter-built inverse — no second argsort needed to unsort).
+        ``ids_pad`` is globally non-decreasing (padding slots inherit the
+        last id of their column block; tail slots carry the sentinel), so
+        ``searchsorted`` span queries remain valid; padding slots are
+        invalid with sentinel positions.
+    """
+    points = jnp.asarray(points)
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones(n, bool)
+    big = jnp.asarray(jnp.inf, points.dtype)
+    lo = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
+    has_pts = jnp.isfinite(lo).all()
+    lo = jnp.where(has_pts, lo, 0.0)
+    hi = jnp.where(has_pts, hi, 0.0)
+
+    cells = jnp.asarray(r, points.dtype) * (
+        2.0 ** jnp.arange(32, dtype=points.dtype)
+    )
+    mins_c = jnp.floor(lo[None] / cells[:, None]) * cells[:, None]
+    dims_c = (
+        jnp.floor((hi[None] - mins_c) / cells[:, None]).astype(jnp.int32) + 1
+    )
+    log_cells = jnp.sum(jnp.log2(dims_c.astype(points.dtype)), axis=1)
+    feasible = (log_cells <= (float(np.log2(n_cells_pad)) - 1e-3)) & (
+        jnp.max(dims_c, axis=1) <= x_cols_pad
+    )
+    ji = jnp.argmax(feasible)
+    cell = cells[ji]
+    mins = mins_c[ji]
+    dims = dims_c[ji]
+
+    c = jnp.floor((points - mins) / cell).astype(jnp.int32)
+    c = jnp.clip(c, 0, dims[None] - 1)
+    perm = jnp.argsort(-dims)  # longest axis major
+    dims = jnp.take(dims, perm)
+    c = jnp.take(c, perm, axis=1)
+    dimyz = dims[1] * dims[2]
+    lin = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+    ids = jnp.where(valid, lin, jnp.asarray(n_cells_pad, jnp.int32))
+    order = jnp.argsort(ids).astype(jnp.int32)
+    ids_sorted = jnp.take(ids, order)
+    # Sentinel rows must land in the virtual overflow column regardless of
+    # dimyz (id // dimyz of the sentinel can alias a real column when the
+    # grid is yz-heavy).
+    xcol_sorted = jnp.where(
+        ids_sorted >= jnp.asarray(n_cells_pad, jnp.int32),
+        jnp.asarray(x_cols_pad, jnp.int32),
+        jnp.minimum(ids_sorted // dimyz, x_cols_pad),
+    )
+
+    counts = jax.ops.segment_sum(
+        jnp.ones(n, jnp.int32), xcol_sorted, num_segments=x_cols_pad + 1
+    )[:x_cols_pad]  # valid rows per column (sentinels excluded)
+    padded_counts = -(-counts // 128) * 128
+    ends_pad = jnp.cumsum(padded_counts)  # (x_cols_pad,) block ends
+    starts_pad = ends_pad - padded_counts
+    used = ends_pad[-1]
+    col_first = jnp.cumsum(counts) - counts  # first sorted pos per column
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    j = jnp.arange(n, dtype=jnp.int32)
+    rank = j - jnp.take(col_first, jnp.minimum(xcol_sorted, x_cols_pad - 1))
+    dest = jnp.where(
+        xcol_sorted < x_cols_pad,
+        jnp.take(starts_pad, jnp.minimum(xcol_sorted, x_cols_pad - 1)) + rank,
+        used + (j - n_valid),  # invalid rows: sequential tail slots
+    ).astype(jnp.int32)
+
+    n_pad = n + 128 * x_cols_pad
+    src = jnp.full(n_pad, -1, jnp.int32).at[dest].set(j)
+    has_src = src >= 0
+    srcc = jnp.maximum(src, 0)
+    pts_pad_T = jnp.where(
+        has_src[None, :],
+        jnp.take(jnp.take(points.T, order, axis=1), srcc, axis=1),
+        jnp.asarray(1e15, points.dtype),
+    )
+    valid_pad = has_src & jnp.take(jnp.take(valid, order), srcc)
+    # Padding ids: block c's padding inherits (c+1)*dimyz - 1 (>= every id
+    # in column c, <= every id in column c+1 — monotone); past the used
+    # region (and the invalid tail) the sentinel keeps searchsorted keys
+    # below every padding slot.
+    col_of_slot = jnp.searchsorted(
+        ends_pad, jnp.arange(n_pad, dtype=jnp.int32), side="right"
+    )
+    pad_id = jnp.where(
+        col_of_slot < x_cols_pad,
+        (jnp.minimum(col_of_slot, x_cols_pad - 1) + 1) * dimyz - 1,
+        jnp.asarray(n_cells_pad, jnp.int32),
+    )
+    ids_pad = jnp.where(has_src, jnp.take(ids_sorted, srcc), pad_id)
+    slot_of_orig = jnp.zeros(n, jnp.int32).at[order].set(dest)
+    return pts_pad_T, valid_pad, ids_pad, slot_of_orig, mins, dims, cell
+
+
 def grid_radius_neighbors(
     points: jax.Array,
     query: Optional[jax.Array] = None,

@@ -204,12 +204,16 @@ def test_cli_print_config_and_splits(capsys, tmp_path):
         assert s["val_names"] != s["test_names"]
 
 
-def test_slab_engine_two_pass_covers_walls(tmp_path):
+def test_slab_engine_y_windows_cover_walls(tmp_path):
     """A surface PERPENDICULAR to the major sort axis packs into one slab
-    (the open-box walls measured width 16384 on TPU); the second pass
-    (second-longest axis major) covers those queries with thin slabs, so
-    the cached width stays far below the wall size while results remain
-    exact vs the brute oracle."""
+    (the open-box walls measured width 16384 on TPU, 106 of the 113
+    ms/scan). The per-tile second-axis windows (column-aligned layout,
+    ops/slabwin.py) cut wall tiles to their local y-range, so the cached
+    width stays far below the whole-wall size while results remain exact
+    vs the brute oracle. The residual width here comes from the artificial
+    SPARSE volume columns: their single tile spans the full y-range, so
+    its window legitimately includes the neighboring wall slab (real lidar
+    scans are surfaces — every occupied column is dense and y-local)."""
     from depth_correction_tpu.cloud import Cloud
     from depth_correction_tpu.models import ScaledPolynomial
     from depth_correction_tpu.node import _WIDTH_CACHE, correct_cloud
@@ -242,7 +246,10 @@ def test_slab_engine_two_pass_covers_walls(tmp_path):
     _WIDTH_CACHE.clear()
     slab = correct_cloud(model, cloud, cfg, width=1024)
     slab_w = max(w for (bk, *_), w in _WIDTH_CACHE.items() if bk == "slab")
-    assert slab_w < 3000  # pass B covered the wall with thin slabs
+    # Dense-wall tiles are y-windowed (~400 candidates); the sparse volume
+    # tiles next to the wall bound the width at ~the wall-slab population,
+    # still 4x under the whole-wall 16384 the slab-only windows needed.
+    assert slab_w <= 4096
     keep = np.asarray(ref[4])
     np.testing.assert_array_equal(np.asarray(slab[4]), keep)
     msk = np.asarray(slab[3]) & np.asarray(ref[3])
