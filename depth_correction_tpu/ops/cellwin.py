@@ -607,6 +607,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _kcat() -> bool:
+    """K-concatenate the per-span moment dots into ONE dot per tile.
+
+    The per-span (16, S) @ (S, R) dots are pipeline-FILL bound (~225
+    cycles for 16 streamed rows at K=S=128); concatenating the spans'
+    feature operands along K (and the membership operands along rows)
+    pays the fill once per tile. Measured on the bench tables (v5e,
+    knockout probe): 16.8-17.5 ms vs 19.7 for one plain per-span dot —
+    and the fused dot subsumes the 3 mantissa-split passes at ~no extra
+    cost. DC_CELLWIN_KCAT=0 restores the per-span loop.
+    """
+    import os
+
+    return os.environ.get("DC_CELLWIN_KCAT", "1") != "0"
+
+
 def _dot_mode() -> str:
     """Precision mode for the moment matmuls (static at trace time).
 
@@ -653,28 +669,20 @@ def _moment_dot(a, b, dt):
             jnp.float32,
         )
 
-    # STACK the split components into ONE streaming matmul: the per-dot
-    # cost at these shapes is pipeline fill (K=S lanes) plus the handful of
-    # streamed M rows, so k separate (16, S) dots pay the fill k times
-    # while one (k*16, S) dot pays it once and streams 3x the rows
-    # (r5 roofline: the kernels are compute-bound, DMA ~free). Summing the
-    # k output blocks afterwards reproduces the separate dots bit-exactly
-    # (identical per-row products, identical add order).
-    parts = []
+    # Loop of separate dots ON PURPOSE: M-stacking the split components
+    # into one (3*16, S) dot measured 110 ms vs 21 ms for this kernel on
+    # v5e (the concat/select interaction defeats Mosaic's fast lowering —
+    # same cliff class as the pl.when rule above), while the loop form's
+    # three fills pipeline across the unrolled span iterations.
+    out = None
     rem = a
     for _ in range(n_split - 1):
         hi = hi_bits(rem)
-        parts.append(hi)
+        part = jnp.dot(hi, b, preferred_element_type=dt)
+        out = part if out is None else out + part
         rem = rem - hi
     # The MXU's own bf16 rounding of the final remainder IS the error term.
-    parts.append(rem)
-    m = a.shape[0]
-    stacked = jnp.concatenate(parts, axis=0)
-    out3 = jnp.dot(stacked, b, preferred_element_type=dt)
-    out = out3[0:m]
-    for i in range(1, n_split):
-        out = out + out3[i * m : (i + 1) * m]
-    return out
+    return out + jnp.dot(rem, b, preferred_element_type=dt)
 
 
 def _span_iota(s, dtype=jnp.int32):
@@ -740,6 +748,9 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
         # 9810 ms/step, hi/lo splits 5.3-47 s/step under pl.when vs
         # probe-parity (~a few ms) unconditional
         # (scripts/exp_mosaic_dot_probe*.py).
+        kcat = _kcat()
+        feats_k = []
+        wm_k = []
         acc = jnp.zeros((16, q.shape[1]), dt)
         for s in range(ns):
             ln = len_ref[t * ns + s]
@@ -791,7 +802,15 @@ def _fwd_kernel(ns: int, s_cap: int, r2: float):
             row = _span_iota(s_cap)
             feats = jnp.where((row >= lead) & (row < lead + ln),
                               feats, 0.0)
-            acc = acc + _moment_dot(feats, wm, dt)
+            if kcat:
+                feats_k.append(feats)
+                wm_k.append(wm)
+            else:
+                acc = acc + _moment_dot(feats, wm, dt)
+        if kcat:
+            # One fill for the whole tile (see _kcat).
+            acc = _moment_dot(jnp.concatenate(feats_k, axis=1),
+                              jnp.concatenate(wm_k, axis=0), dt)
         s0 = acc[0:1, :]  # (1, R)
         s0c = jnp.maximum(s0, 1e-12)
         m0 = acc[1:2, :] / s0c  # shifted mean components
@@ -850,6 +869,9 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
         # Conditional wait, UNCONDITIONAL masked compute — see the forward
         # kernel's comment (pl.when-guarded matmuls defeat Mosaic's fast
         # lowering of the f32-accuracy dot variants).
+        kcat = _kcat()
+        rt_k = []
+        wm_k = []
         acc = jnp.zeros((16, x.shape[1]), dt)
         for s in range(ns):
             ln = len_ref[t * ns + s]
@@ -885,7 +907,14 @@ def _bwd_kernel(ns: int, sr_cap: int, r2: float):
             rt_m = jnp.where(
                 (row >= lead) & (row < lead + ln), rt, 0.0
             )  # (16, SR)
-            acc = acc + _moment_dot(rt_m, wm, dt)
+            if kcat:
+                rt_k.append(rt_m)
+                wm_k.append(wm)
+            else:
+                acc = acc + _moment_dot(rt_m, wm, dt)
+        if kcat:
+            acc = _moment_dot(jnp.concatenate(rt_k, axis=1),
+                              jnp.concatenate(wm_k, axis=0), dt)
         # acc rows follow RT rows: 0-2 (qest sums, unused), 3-8 = S
         # components (s00, s11, s22, s01, s02, s12), 9-11 = u.
         x0 = x[0:1, :]  # CURRENT global coords (1, P)

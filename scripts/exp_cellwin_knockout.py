@@ -85,6 +85,8 @@ def make_kernel(ns: int, s_cap: int, r2: float, mode: str):
         qz = q[2:3, :] - cz
 
         acc = jnp.zeros((16, q.shape[1]), dt)
+        feats_k = []
+        wm_k = []
         for s in range(ns):
             ln = len_ref[t * ns + s]
             lead = lead_ref[t * ns + s]
@@ -143,8 +145,21 @@ def make_kernel(ns: int, s_cap: int, r2: float, mode: str):
                 acc = acc + feats[:, : q.shape[1]] + wm[0:16, :]
             elif mode == "dot1":
                 acc = acc + jnp.dot(feats, wm, preferred_element_type=dt)
+            elif mode in ("kcat1", "kcat3"):
+                feats_k.append(feats)
+                wm_k.append(wm)
             else:
                 acc = acc + _moment_dot(feats, wm, dt)
+        if mode in ("kcat1", "kcat3"):
+            # K-concatenation: the per-span dots are pipeline-FILL bound
+            # (~225 cycles for 16 streamed rows); concatenating the spans
+            # along K pays the fill once per tile.
+            fk = jnp.concatenate(feats_k, axis=1)  # (16, ns*S)
+            wk = jnp.concatenate(wm_k, axis=0)  # (ns*S, R)
+            if mode == "kcat1":
+                acc = jnp.dot(fk, wk, preferred_element_type=dt)
+            else:
+                acc = _moment_dot(fk, wk, dt)
         out_ref[:] = acc
 
     return kernel
@@ -230,8 +245,12 @@ def main():
     pts_sorted = permute_rows(gcloud.get_points(), dev.perm, dev.inv)
     pts_sorted = jax.device_put(pts_sorted)
 
-    for mode in ("full", "dot1", "no_dot", "no_d2", "no_feats", "no_mask",
-                 "empty"):
+    import sys as _sys
+
+    modes = (_sys.argv[1].split(",") if len(_sys.argv) > 1 else
+             ("full", "dot1", "no_dot", "no_d2", "no_feats", "no_mask",
+              "kcat1", "kcat3", "empty"))
+    for mode in modes:
         run_variant(mode, dev, pts_sorted)
 
 

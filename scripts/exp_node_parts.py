@@ -69,8 +69,7 @@ def main():
         _filter_program,
         _slab_correct_program,
     )
-    from depth_correction_tpu.ops.grid_hash import grid_sort_traced
-    from depth_correction_tpu.ops.slabwin import TILE, slab_window_moments
+    from depth_correction_tpu.ops.slabwin import slab_window_moments
     from depth_correction_tpu.preproc import pad_size
 
     cfg, scan = bench.build_node_scan()
@@ -127,19 +126,24 @@ def main():
         max_depth=statics["max_depth"], grid_res=statics["grid_res"])
     keep, points = jax.device_put((keep, points))
 
-    # P2 one traced sort pass
+    # P2 the column-aligned traced sort (v2)
+    from depth_correction_tpu.node import NODE_X_COLS_PAD
+    from depth_correction_tpu.ops.grid_hash import grid_sort_colpad_traced
+
     @jax.jit
     def p2(tok):
-        out = grid_sort_traced(points + 0.0 * tok, keep, statics["nn_r"],
-                               NODE_N_CELLS_PAD, sort_axes="major")
+        out = grid_sort_colpad_traced(points + 0.0 * tok, keep,
+                                      statics["nn_r"], NODE_N_CELLS_PAD,
+                                      x_cols_pad=NODE_X_COLS_PAD)
         return out, out[0][0, 0]
-    ms2 = timed("P2 grid_sort_traced (one pass)", p2)
+    ms2 = timed("P2 grid_sort_colpad_traced", p2)
 
     sorted_tabs = jax.jit(
-        lambda: grid_sort_traced(points, keep, statics["nn_r"],
-                                 NODE_N_CELLS_PAD, sort_axes="major")
+        lambda: grid_sort_colpad_traced(points, keep, statics["nn_r"],
+                                        NODE_N_CELLS_PAD,
+                                        x_cols_pad=NODE_X_COLS_PAD)
     )()
-    (pts_T, valid_s, ids_s, order, mins, dims, cell) = jax.device_put(
+    (pts_T, valid_s, ids_s, slot_of_orig, mins, dims, cell) = jax.device_put(
         sorted_tabs)
 
     # P3 slab moments over sorted tables
@@ -156,18 +160,21 @@ def main():
                                     float(cfg.nn_r) ** 2, w_slab,
                                     NODE_N_CELLS_PAD)
     )()
+    wid = np.asarray(widths)
+    live = wid[wid > 0]
+    print("[node-parts] widths: live tiles %d/%d, p50 %d, p90 %d, p99 %d, "
+          "max %d (w_slab %d)"
+          % (live.size, wid.size, *np.percentile(live, [50, 90, 99]).astype(
+              int), live.max(initial=0), w_slab), flush=True)
 
-    # P4 unsort of the packed table
+    # P4 unsort of the packed table (scatter-built inverse, no argsort)
     @jax.jit
     def p4(tok):
-        w_of_slot = jnp.repeat(widths, TILE)
-        inv = jnp.argsort(order).astype(jnp.int32)
         packed = jnp.concatenate(
-            [mean + 0.0 * tok, jnp.stack(comps), wsum[None],
-             w_of_slot[None].astype(pts_T.dtype)], 0)
-        out = jnp.take(packed, inv, axis=1)
+            [mean + 0.0 * tok, jnp.stack(comps), wsum[None]], 0)
+        out = jnp.take(packed, slot_of_orig, axis=1)
         return out, out[0, 0]
-    ms4 = timed("P4 unsort (argsort(order) + take)", p4)
+    ms4 = timed("P4 unsort (take by slot_of_orig)", p4)
 
     # P5 feature tail + masked apply
     cloud_f = Cloud(vps=vps, dirs=dirs, depth=depth, valid=keep)
@@ -181,9 +188,9 @@ def main():
         return out, out[1][0]
     ms5 = timed("P5 feature tail + model apply", p5)
 
-    print("\n[accounting] P0 %.2f vs P1 + 2x(P2+P3+P4) + P5 = %.2f ms"
-          % (ms0, ms1 + 2 * (ms2 + ms3 + ms4) + ms5), flush=True)
-    print("[accounting] per pass: sort %.2f + moments %.2f + unsort %.2f"
+    print("\n[accounting] P0 %.2f vs P1+P2+P3+P4+P5 = %.2f ms"
+          % (ms0, ms1 + ms2 + ms3 + ms4 + ms5), flush=True)
+    print("[accounting] sort %.2f + moments %.2f + unsort %.2f"
           % (ms2, ms3, ms4), flush=True)
 
 
