@@ -391,15 +391,20 @@ def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
         jnp.minimum(ids_sorted // dimyz, x_cols_pad),
     )
 
-    counts = jax.ops.segment_sum(
-        jnp.ones(n, jnp.int32), xcol_sorted, num_segments=x_cols_pad + 1
-    )[:x_cols_pad]  # valid rows per column (sentinels excluded)
+    # Per-column counts / first-positions via searchsorted over the
+    # ASCENDING xcol_sorted (TPU scatters and segment sums serialize; the
+    # scatter-based first version of this function measured 34.5 ms
+    # against ~5 ms for the plain sort it wraps).
+    col_first_all = jnp.searchsorted(
+        xcol_sorted, jnp.arange(x_cols_pad + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)  # (x_cols_pad + 1,)
+    counts = col_first_all[1:] - col_first_all[:-1]  # valid rows per column
+    col_first = col_first_all[:-1]
     padded_counts = -(-counts // 128) * 128
     ends_pad = jnp.cumsum(padded_counts)  # (x_cols_pad,) block ends
     starts_pad = ends_pad - padded_counts
     used = ends_pad[-1]
-    col_first = jnp.cumsum(counts) - counts  # first sorted pos per column
-    n_valid = jnp.sum(valid.astype(jnp.int32))
+    n_valid = col_first_all[-1]  # sentinels sort past every real column
 
     j = jnp.arange(n, dtype=jnp.int32)
     rank = j - jnp.take(col_first, jnp.minimum(xcol_sorted, x_cols_pad - 1))
@@ -409,16 +414,21 @@ def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
         used + (j - n_valid),  # invalid rows: sequential tail slots
     ).astype(jnp.int32)
 
+    # ``dest`` is strictly increasing in j (columns ascend; ranks ascend
+    # within a column; block starts are monotone; the invalid tail
+    # continues past ``used``) — so the slot -> sorted-row inverse is a
+    # searchsorted, not a scatter.
     n_pad = n + 128 * x_cols_pad
-    src = jnp.full(n_pad, -1, jnp.int32).at[dest].set(j)
-    has_src = src >= 0
-    srcc = jnp.maximum(src, 0)
+    slot_iota = jnp.arange(n_pad, dtype=jnp.int32)
+    j_of_slot = jnp.searchsorted(dest, slot_iota).astype(jnp.int32)
+    jj = jnp.minimum(j_of_slot, n - 1)
+    has_src = (j_of_slot < n) & (jnp.take(dest, jj) == slot_iota)
     pts_pad_T = jnp.where(
         has_src[None, :],
-        jnp.take(jnp.take(points.T, order, axis=1), srcc, axis=1),
+        jnp.take(jnp.take(points.T, order, axis=1), jj, axis=1),
         jnp.asarray(1e15, points.dtype),
     )
-    valid_pad = has_src & jnp.take(jnp.take(valid, order), srcc)
+    valid_pad = has_src & jnp.take(jnp.take(valid, order), jj)
     # Padding ids: block c's padding inherits (c+1)*dimyz - 1 (>= every id
     # in column c, <= every id in column c+1 — monotone); past the used
     # region (and the invalid tail) the sentinel keeps searchsorted keys
@@ -431,8 +441,9 @@ def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
         (jnp.minimum(col_of_slot, x_cols_pad - 1) + 1) * dimyz - 1,
         jnp.asarray(n_cells_pad, jnp.int32),
     )
-    ids_pad = jnp.where(has_src, jnp.take(ids_sorted, srcc), pad_id)
-    slot_of_orig = jnp.zeros(n, jnp.int32).at[order].set(dest)
+    ids_pad = jnp.where(has_src, jnp.take(ids_sorted, jj), pad_id)
+    # orig -> padded slot without a scatter: sort (order, dest) by order.
+    _, slot_of_orig = jax.lax.sort_key_val(order, dest)
     return pts_pad_T, valid_pad, ids_pad, slot_of_orig, mins, dims, cell
 
 

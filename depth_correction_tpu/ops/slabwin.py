@@ -126,11 +126,18 @@ def slab_window_moments(pts_T, valid, ids_sorted, dims, r2, w_slab: int,
     q3 = pts_T.reshape(3, t, TILE).transpose(1, 0, 2)  # (T, 3, TILE)
     qv = v2
     r2 = jnp.asarray(r2, dt)
-    col = jnp.arange(w_slab, dtype=jnp.int32)[:, None]  # (W, 1)
 
-    def body(_, xs):
-        lo_t, w_t, q, qv_t, has_t = xs
+    def make_body(w_pass):
+        col = jnp.arange(w_pass, dtype=jnp.int32)[:, None]  # (W, 1)
 
+        def body(_, xs):
+            lo_t, w_t, q, qv_t, run_t = xs
+            return None, _tile_moments(
+                tab, col, r2, w_pass, lo_t, w_t, q, qv_t, run_t, dt)
+
+        return body
+
+    def _tile_moments(tab, col, r2, w_pass, lo_t, w_t, q, qv_t, has_t, dt):
         def live(_):
             # Tile-center shift (conditioning; exactness of the one-pass
             # moments at f32 — same trick as the cellwin kernels).
@@ -145,7 +152,7 @@ def slab_window_moments(pts_T, valid, ids_sorted, dims, r2, w_slab: int,
             acc = jnp.zeros((10, TILE), dt)
             for i in range(3):
                 win = jax.lax.dynamic_slice(
-                    tab, (jnp.zeros((), lo_t.dtype), lo_t[i]), (4, w_slab))
+                    tab, (jnp.zeros((), lo_t.dtype), lo_t[i]), (4, w_pass))
                 wx = (win[0] - ctr[0])[:, None]  # (W, 1) shifted
                 wy = (win[1] - ctr[1])[:, None]
                 wz = (win[2] - ctr[2])[:, None]
@@ -188,12 +195,28 @@ def slab_window_moments(pts_T, valid, ids_sorted, dims, r2, w_slab: int,
                 axis=0,
             )  # (10, TILE)
 
-        out = jax.lax.cond(
+        return jax.lax.cond(
             has_t, live, lambda _: jnp.zeros((10, TILE), dt), None
         )
-        return None, out
 
-    _, ys = jax.lax.scan(body, None, (lo, width3, q3, qv, has))
+    # TWO width classes: the width distribution is long-tailed (bench scan:
+    # p50 147, p99 890, max 2503 with w_slab 4096 — dense columns next to
+    # sparse ones legitimately need wide spans), so one static width makes
+    # EVERY tile pay the max. Tiles whose widest span fits w_slab // 4 run
+    # a narrow scan; only the tail runs the full-width scan (each scan
+    # cond-skips the other class, so per-class work is proportional).
+    w_small = max(-(-(w_slab // 4) // 128) * 128, 128)
+    if w_small >= w_slab:
+        _, ys = jax.lax.scan(make_body(w_slab), None,
+                             (lo, width3, q3, qv, has))
+    else:
+        small = has & (widths <= w_small)
+        big = has & ~small
+        _, ys_s = jax.lax.scan(make_body(w_small), None,
+                               (lo, width3, q3, qv, small))
+        _, ys_b = jax.lax.scan(make_body(w_slab), None,
+                               (lo, width3, q3, qv, big))
+        ys = jnp.where(small[:, None, None], ys_s, ys_b)
     ys = ys.transpose(1, 0, 2).reshape(10, n)
     mean = ys[0:3]
     comps = (ys[3], ys[4], ys[5], ys[6], ys[7], ys[8])

@@ -176,13 +176,19 @@ def main():
         return out, out[0, 0]
     ms4 = timed("P4 unsort (take by slot_of_orig)", p4)
 
-    # P5 feature tail + masked apply
+    # P5 feature tail + masked apply (on the unsorted, original-order
+    # moments — the padded tables live in the column-aligned layout)
     cloud_f = Cloud(vps=vps, dirs=dirs, depth=depth, valid=keep)
+    packed0 = jax.jit(lambda: jnp.take(
+        jnp.concatenate([mean, jnp.stack(comps), wsum[None]], 0),
+        slot_of_orig, axis=1))()
 
     @jax.jit
     def p5(tok):
+        pk = packed0 + 0.0 * tok
         out = _apply_from_moments(
-            mdl, cloud_f, mean + 0.0 * tok, comps, wsum,
+            mdl, cloud_f, pk[0:3],
+            (pk[3], pk[4], pk[5], pk[6], pk[7], pk[8]), pk[9],
             statics["eigval_bounds"], statics["ratio_bounds"],
             min_valid=statics["min_valid"])
         return out, out[1][0]
