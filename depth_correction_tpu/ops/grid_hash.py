@@ -414,15 +414,31 @@ def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
         used + (j - n_valid),  # invalid rows: sequential tail slots
     ).astype(jnp.int32)
 
-    # ``dest`` is strictly increasing in j (columns ascend; ranks ascend
-    # within a column; block starts are monotone; the invalid tail
-    # continues past ``used``) — so the slot -> sorted-row inverse is a
-    # searchsorted, not a scatter.
+    # The slot -> sorted-row inverse follows ARITHMETICALLY from the block
+    # structure (a scatter-table inverse measured 34.5 ms, a full
+    # searchsorted(dest, arange(n_pad)) 51.7 — both dominated the sort):
+    # slot s of column block c holds sorted row col_first[c] +
+    # (s - starts_pad[c]) when that offset is below the column's real
+    # count; tail slots continue the invalid run. Only the 513-entry
+    # block-bounds searchsorted remains (shared with the pad-id below).
     n_pad = n + 128 * x_cols_pad
     slot_iota = jnp.arange(n_pad, dtype=jnp.int32)
-    j_of_slot = jnp.searchsorted(dest, slot_iota).astype(jnp.int32)
-    jj = jnp.minimum(j_of_slot, n - 1)
-    has_src = (j_of_slot < n) & (jnp.take(dest, jj) == slot_iota)
+    # method='sort': the default binary scan issues ~log2(n) serialized
+    # gathers per key (~10 ms for these 194k keys); one co-sort is ~4 ms.
+    col_of_slot = jnp.searchsorted(
+        ends_pad, slot_iota, side="right", method="sort"
+    ).astype(jnp.int32)
+    in_cols = col_of_slot < x_cols_pad
+    colc = jnp.minimum(col_of_slot, x_cols_pad - 1)
+    off = slot_iota - jnp.take(starts_pad, colc)
+    j_of_slot = jnp.where(
+        in_cols,
+        jnp.take(col_first, colc) + off,
+        n_valid + (slot_iota - used),  # the invalid tail run
+    )
+    has_src = jnp.where(in_cols, off < jnp.take(counts, colc),
+                        j_of_slot < n)
+    jj = jnp.clip(j_of_slot, 0, n - 1)
     pts_pad_T = jnp.where(
         has_src[None, :],
         jnp.take(jnp.take(points.T, order, axis=1), jj, axis=1),
@@ -433,9 +449,6 @@ def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
     # in column c, <= every id in column c+1 — monotone); past the used
     # region (and the invalid tail) the sentinel keeps searchsorted keys
     # below every padding slot.
-    col_of_slot = jnp.searchsorted(
-        ends_pad, jnp.arange(n_pad, dtype=jnp.int32), side="right"
-    )
     pad_id = jnp.where(
         col_of_slot < x_cols_pad,
         (jnp.minimum(col_of_slot, x_cols_pad - 1) + 1) * dimyz - 1,

@@ -205,17 +205,20 @@ def slab_window_moments(pts_T, valid, ids_sorted, dims, r2, w_slab: int,
     # EVERY tile pay the max. Tiles whose widest span fits w_slab // 4 run
     # a narrow scan; only the tail runs the full-width scan (each scan
     # cond-skips the other class, so per-class work is proportional).
+    # unroll: the scan body is latency-bound (three dynamic_slice fetches
+    # + a small matmul per 128-query tile); unrolling lets XLA overlap
+    # consecutive tiles' fetches with compute.
     w_small = max(-(-(w_slab // 4) // 128) * 128, 128)
     if w_small >= w_slab:
         _, ys = jax.lax.scan(make_body(w_slab), None,
-                             (lo, width3, q3, qv, has))
+                             (lo, width3, q3, qv, has), unroll=8)
     else:
         small = has & (widths <= w_small)
         big = has & ~small
         _, ys_s = jax.lax.scan(make_body(w_small), None,
-                               (lo, width3, q3, qv, small))
+                               (lo, width3, q3, qv, small), unroll=8)
         _, ys_b = jax.lax.scan(make_body(w_slab), None,
-                               (lo, width3, q3, qv, big))
+                               (lo, width3, q3, qv, big), unroll=4)
         ys = jnp.where(small[:, None, None], ys_s, ys_b)
     ys = ys.transpose(1, 0, 2).reshape(10, n)
     mean = ys[0:3]
