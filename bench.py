@@ -496,13 +496,15 @@ def bench_node(cfg, scan, reps: int = 10, chip_reps: int = 20):
           "uncapped within-r, no K)" % (len(scan), n_kept), file=sys.stderr)
 
     outs = one_call()  # warmup: compiles + verifies the stream's width
-    from depth_correction_tpu.node import _WIDTH_CACHE
+    from depth_correction_tpu.node import _WIDTH_CACHE, _XCOLS_CACHE
     width = max(_WIDTH_CACHE.values())
+    xcols = max(_XCOLS_CACHE.values())
     k = 0  # slab engine is K-free
 
     # --- CHIP: chained dependent program calls, device-resident inputs ---
     statics = dict(
-        w_slab=int(width), n_cells_pad=NODE_N_CELLS_PAD,
+        w_slab=int(width), x_cols_pad=int(xcols),
+        n_cells_pad=NODE_N_CELLS_PAD,
         nn_r=float(cfg.nn_r), min_depth=float(cfg.min_depth or 0.0),
         max_depth=float(cfg.max_depth or np.inf),
         grid_res=float(cfg.grid_res or 0.0),

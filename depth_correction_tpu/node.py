@@ -138,9 +138,14 @@ def _filter_program(vps, dirs, depth, valid, min_depth, max_depth, grid_res):
 # int32 on HBM; scans whose extent needs more cells auto-coarsen in-program
 # (grid_establish_traced), preserving exactness.
 NODE_N_CELLS_PAD = 1 << 21
-# Max major-axis columns for the slab engine's column-aligned layout
-# (grid_sort_colpad_traced): +128 slots of padding per column worst case.
-NODE_X_COLS_PAD = 512
+# Initial / max major-axis column bound for the slab engine's
+# column-aligned layout (grid_sort_colpad_traced): +128 padded slots per
+# column worst case, so oversizing creates dead tiles the moment scan must
+# skip (512 columns measured 71% dead tiles on a 129k scan). Streams start
+# at the minimum and retry to the scan's actual column count (the program
+# returns it — same verify-and-retry pattern as the span width).
+NODE_X_COLS_MIN = 128
+NODE_X_COLS_MAX = 2048
 
 
 @partial(jax.jit, static_argnames=("k", "width", "n_cells_pad", "nn_r",
@@ -225,7 +230,8 @@ def _apply_from_moments(model, cloud: Cloud, mean, comps, w_sum,
             cloud.valid)
 
 
-@partial(jax.jit, static_argnames=("w_slab", "n_cells_pad", "nn_r",
+@partial(jax.jit, static_argnames=("w_slab", "x_cols_pad", "n_cells_pad",
+                                   "nn_r",
                                    "min_depth", "max_depth", "grid_res",
                                    "min_valid",
                                    "eigval_bounds", "ratio_bounds"))
@@ -236,6 +242,7 @@ def _slab_correct_program(
     depth,
     valid,
     w_slab: int,
+    x_cols_pad: int,
     n_cells_pad: int,
     nn_r: float,
     min_depth: float,
@@ -261,9 +268,9 @@ def _slab_correct_program(
     cloud = cloud.replace(valid=keep)
     points = cloud.to_points()
 
-    (pts_pad_T, valid_pad, ids_pad, slot_of_orig, mins, dims,
-     cell) = grid_sort_colpad_traced(
-        points, keep, nn_r, n_cells_pad, x_cols_pad=NODE_X_COLS_PAD)
+    (pts_pad_T, valid_pad, ids_pad, slot_of_orig, mins, dims, cell,
+     dims0_ideal) = grid_sort_colpad_traced(
+        points, keep, nn_r, n_cells_pad, x_cols_pad=x_cols_pad)
     mean_s, comps_s, wsum_s, widths = slab_window_moments(
         pts_pad_T, valid_pad, ids_pad, dims, float(nn_r) ** 2, w_slab,
         n_cells_pad)
@@ -276,17 +283,19 @@ def _slab_correct_program(
              packed[8])
     return _apply_from_moments(model, cloud, mean, comps, packed[9],
                                eigval_bounds, ratio_bounds,
-                               min_valid=min_valid) + (max_w,)
+                               min_valid=min_valid) + (max_w, dims0_ideal)
 
 
 def _freeze_bounds(bounds):
     return tuple(tuple(b) for b in bounds) if bounds else ()
 
 
-# Stream-level cache of the verified candidate-window width per
-# (padded size, k, nn_r, grid_res) stream signature: after the first scan
-# (or a rare density spike) every later scan reuses the compiled program.
+# Stream-level caches of the verified candidate-window width and (slab
+# engine) column-block count per (padded size, k, nn_r, grid_res) stream
+# signature: after the first scan (or a rare density spike) every later
+# scan reuses the compiled program.
 _WIDTH_CACHE: dict = {}
+_XCOLS_CACHE: dict = {}
 
 
 def correct_cloud(model, cloud: Cloud, cfg: Config, k: Optional[int] = None,
@@ -339,15 +348,24 @@ def correct_cloud(model, cloud: Cloud, cfg: Config, k: Optional[int] = None,
                 return tuple(outs)
             width = _ceil_pow2(true_win)
     width = int(width or _WIDTH_CACHE.get(key) or 2048)
+    xcols = int(_XCOLS_CACHE.get(key) or NODE_X_COLS_MIN)
     while True:
-        *outs, max_w = _slab_correct_program(
+        *outs, max_w, dims0 = _slab_correct_program(
             model, cloud.vps, cloud.dirs, cloud.depth, cloud.valid,
-            w_slab=width, n_cells_pad=NODE_N_CELLS_PAD,
+            w_slab=width, x_cols_pad=xcols,
+            n_cells_pad=NODE_N_CELLS_PAD,
             nn_r=float(cfg.nn_r), **common, **bounds,
         )
+        dims0 = int(dims0)
+        if dims0 > xcols and xcols < NODE_X_COLS_MAX:
+            # Too few column blocks: the sort over-coarsened (exact but
+            # wider spans) — retry at the scan's actual column count.
+            xcols = min(_ceil_pow2(dims0), NODE_X_COLS_MAX)
+            continue
         max_w = int(max_w)
         if max_w <= width:
             _WIDTH_CACHE[key] = max(_WIDTH_CACHE.get(key, 0), width)
+            _XCOLS_CACHE[key] = max(_XCOLS_CACHE.get(key, 0), xcols)
             return tuple(outs)
         width = _ceil_pow2(max_w)
 

@@ -337,13 +337,17 @@ def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
     exactness: only ``cell >= r`` matters).
 
     :return: ``(pts_pad_T (3, n_pad), valid_pad, ids_pad, slot_of_orig,
-        mins, dims, cell)`` with ``n_pad = N + 128 * x_cols_pad`` (static);
-        ``slot_of_orig`` maps each ORIGINAL row to its padded slot (the
-        scatter-built inverse — no second argsort needed to unsort).
-        ``ids_pad`` is globally non-decreasing (padding slots inherit the
-        last id of their column block; tail slots carry the sentinel), so
+        mins, dims, cell, dims0_ideal)`` with ``n_pad = N + 128 *
+        x_cols_pad`` (static); ``slot_of_orig`` maps each ORIGINAL row to
+        its padded slot (no second argsort needed to unsort). ``ids_pad``
+        is globally non-decreasing (padding slots inherit the last id of
+        their column block; tail slots carry the sentinel), so
         ``searchsorted`` span queries remain valid; padding slots are
-        invalid with sentinel positions.
+        invalid with sentinel positions. ``dims0_ideal`` is the major dim
+        the COUNT-only feasibility would pick — streaming callers size
+        ``x_cols_pad`` to it (a too-small bound silently over-coarsens
+        the grid, which stays exact but widens the spans; a too-large one
+        pays dead padding tiles).
     """
     points = jnp.asarray(points)
     n = points.shape[0]
@@ -364,13 +368,13 @@ def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
         jnp.floor((hi[None] - mins_c) / cells[:, None]).astype(jnp.int32) + 1
     )
     log_cells = jnp.sum(jnp.log2(dims_c.astype(points.dtype)), axis=1)
-    feasible = (log_cells <= (float(np.log2(n_cells_pad)) - 1e-3)) & (
-        jnp.max(dims_c, axis=1) <= x_cols_pad
-    )
+    count_ok = log_cells <= (float(np.log2(n_cells_pad)) - 1e-3)
+    feasible = count_ok & (jnp.max(dims_c, axis=1) <= x_cols_pad)
     ji = jnp.argmax(feasible)
     cell = cells[ji]
     mins = mins_c[ji]
     dims = dims_c[ji]
+    dims0_ideal = jnp.max(dims_c[jnp.argmax(count_ok)])
 
     c = jnp.floor((points - mins) / cell).astype(jnp.int32)
     c = jnp.clip(c, 0, dims[None] - 1)
@@ -457,7 +461,8 @@ def grid_sort_colpad_traced(points, valid, r: float, n_cells_pad: int,
     ids_pad = jnp.where(has_src, jnp.take(ids_sorted, jj), pad_id)
     # orig -> padded slot without a scatter: sort (order, dest) by order.
     _, slot_of_orig = jax.lax.sort_key_val(order, dest)
-    return pts_pad_T, valid_pad, ids_pad, slot_of_orig, mins, dims, cell
+    return (pts_pad_T, valid_pad, ids_pad, slot_of_orig, mins, dims, cell,
+            dims0_ideal)
 
 
 def grid_radius_neighbors(

@@ -95,21 +95,27 @@ def main():
                            cloud.valid))
     mdl, vps, dirs, depth, valid = args
 
-    # Find the width the stream settled on (warms the program too).
-    from depth_correction_tpu.node import _WIDTH_CACHE, correct_cloud
+    # Find the width/columns the stream settled on (warms the program too).
+    from depth_correction_tpu.node import (
+        _WIDTH_CACHE,
+        _XCOLS_CACHE,
+        correct_cloud,
+    )
 
     outs = correct_cloud(mdl, cloud, cfg)
     jax.block_until_ready(outs)
     w_slab = max(_WIDTH_CACHE.values())
-    print("[node-parts] settled w_slab = %d" % w_slab, flush=True)
+    xcols = max(_XCOLS_CACHE.values())
+    print("[node-parts] settled w_slab = %d, x_cols = %d"
+          % (w_slab, xcols), flush=True)
 
     # P0 full program
     def p0(tok):
         out = _slab_correct_program(
             mdl, vps, dirs, depth + 0.0 * tok, valid,
-            w_slab=w_slab, **statics)
+            w_slab=w_slab, x_cols_pad=xcols, **statics)
         return out, out[1][0]
-    ms0 = timed("P0 full slab program (2 passes)", p0)
+    ms0 = timed("P0 full slab program", p0)
 
     # P1 filter
     def p1(tok):
@@ -126,25 +132,24 @@ def main():
         max_depth=statics["max_depth"], grid_res=statics["grid_res"])
     keep, points = jax.device_put((keep, points))
 
-    # P2 the column-aligned traced sort (v2)
-    from depth_correction_tpu.node import NODE_X_COLS_PAD
+    # P2 the column-aligned traced sort (v2+)
     from depth_correction_tpu.ops.grid_hash import grid_sort_colpad_traced
 
     @jax.jit
     def p2(tok):
         out = grid_sort_colpad_traced(points + 0.0 * tok, keep,
                                       statics["nn_r"], NODE_N_CELLS_PAD,
-                                      x_cols_pad=NODE_X_COLS_PAD)
+                                      x_cols_pad=xcols)
         return out, out[0][0, 0]
     ms2 = timed("P2 grid_sort_colpad_traced", p2)
 
     sorted_tabs = jax.jit(
         lambda: grid_sort_colpad_traced(points, keep, statics["nn_r"],
                                         NODE_N_CELLS_PAD,
-                                        x_cols_pad=NODE_X_COLS_PAD)
+                                        x_cols_pad=xcols)
     )()
-    (pts_T, valid_s, ids_s, slot_of_orig, mins, dims, cell) = jax.device_put(
-        sorted_tabs)
+    (pts_T, valid_s, ids_s, slot_of_orig, mins, dims, cell,
+     _d0) = jax.device_put(sorted_tabs)
 
     # P3 slab moments over sorted tables
     @jax.jit
