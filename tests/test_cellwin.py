@@ -202,6 +202,7 @@ def test_cellwin_loss_matches_gather_backend(tmp_path):
     np.testing.assert_allclose(grads["cellwin"], grads["gather"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_cellwin_train_recovers_bias(tmp_path):
     """train() end to end with the cellwin engine recovers the injected
     depth bias like the gather engine does."""
@@ -217,6 +218,7 @@ def test_cellwin_train_recovers_bias(tmp_path):
     assert -0.0026 < w < -0.0012, w
 
 
+@pytest.mark.slow
 def test_cellwin_offset_and_multisequence_parity(tmp_path):
     """loss_offset tables re-index into the padded row layout, and each
     sequence carries its own graph — value+grad parity vs gather."""
@@ -260,6 +262,7 @@ def test_cellwin_build_declines_gracefully():
     assert g is None
 
 
+@pytest.mark.slow
 def test_cellwin_checkpoint_resume_bitexact(tmp_path):
     """A resumed cellwin run reproduces the uninterrupted trajectory (the
     graph rebuild at resume is deterministic)."""

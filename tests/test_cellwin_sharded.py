@@ -66,6 +66,7 @@ def _build(pts, qrows, nn, r):
     return g
 
 
+@pytest.mark.slow
 def test_sharded_cellwin_value_and_grad_parity():
     r = 0.35
     pts, qrows, nn = _scene(r=r)
@@ -157,6 +158,7 @@ def _w_grad(loss_fn, w0=-1e-3):
 
 
 @pytest.mark.parametrize("loss_offset", [False, True])
+@pytest.mark.slow
 def test_sharded_cellwin_loss_matches_single_device(tmp_path, loss_offset):
     """End to end: explicit cellwin + mesh trains on the SHARDED engine
     and matches both the single-device cellwin loss and the gather loss
@@ -200,6 +202,7 @@ def test_sharded_cellwin_loss_matches_single_device(tmp_path, loss_offset):
         np.testing.assert_allclose(g, g_ref, rtol=1e-6, err_msg=key)
 
 
+@pytest.mark.slow
 def test_sharded_cellwin_trains_e2e(tmp_path):
     """train() under cfg.mesh_shape + explicit cellwin recovers the
     injected bias like the single-device engine does."""

@@ -158,6 +158,7 @@ def test_pathlock_concurrent_appends(tmp_path):
     assert len(set(lines)) == n_threads * n_writes
 
 
+@pytest.mark.slow
 def test_asl_laser_end_to_end_training(tmp_path, monkeypatch):
     """Real-data-format path end to end: an asl_laser-format fixture (CSV
     scans + Leica pose file) of a planar scene with an injected bias flows

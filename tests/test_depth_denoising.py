@@ -38,6 +38,7 @@ def test_external_denoiser_missing_output(tmp_path):
         dd.external_denoise_range_image(img, hit, cmd, str(tmp_path))
 
 
+@pytest.mark.slow
 def test_denoising_harness_end_to_end(tmp_path):
     """Full comparison run with the stub denoiser: corrected beats raw, and
     the external column lands in the CSV."""

@@ -51,6 +51,7 @@ def base_cfg(tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_dataset_pipeline_shapes(tmp_path):
     cfg = base_cfg(tmp_path)
     ds = create_dataset("ground_plane/6", cfg)
@@ -69,6 +70,7 @@ def test_dataset_pipeline_shapes(tmp_path):
     assert int(np.asarray(data.masks[0]).sum()) > 100
 
 
+@pytest.mark.slow
 def test_biased_loss_higher_than_clean(tmp_path):
     """Injected bias must raise the map-consistency loss; the GT model must
     bring it back down (the loss-landscape sanity probe, reference:

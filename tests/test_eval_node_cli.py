@@ -259,3 +259,55 @@ def test_slab_engine_y_windows_cover_walls(tmp_path):
     np.testing.assert_allclose(
         np.asarray(slab[0])[msk], np.asarray(ref[0])[msk], rtol=1e-5,
         atol=1e-4)
+
+
+def test_slab_engine_xcols_retry(tmp_path):
+    """A scan spanning more major-axis columns than the slab engine's
+    initial bound (NODE_X_COLS_MIN) silently over-coarsens the grid on the
+    first compile (exact, wider spans); the program's dims0 scalar then
+    drives one retry at the scan's actual column count, the stream caches
+    it, and results match the brute oracle exactly."""
+    from depth_correction_tpu.cloud import Cloud
+    from depth_correction_tpu.models import ScaledPolynomial
+    from depth_correction_tpu.node import (
+        _WIDTH_CACHE,
+        _XCOLS_CACHE,
+        NODE_X_COLS_MIN,
+        correct_cloud,
+    )
+    from depth_correction_tpu.preproc import pad_size
+
+    rng = np.random.default_rng(11)
+    # A long strip: ~200 columns at cell = nn_r = 0.25 (x span 50 m).
+    n = 4000
+    pts = np.stack([
+        rng.uniform(0, 50, n),
+        rng.uniform(0, 1.5, n),
+        rng.uniform(0, 0.2, n),
+    ], 1).astype(np.float32)
+    vps = pts - np.array([0.0, 5.0, 0.0], np.float32)
+
+    cfg = small_cfg(tmp_path)
+    cfg.min_depth, cfg.max_depth, cfg.grid_res = 0.1, 50.0, 0.0
+    cfg.nn_r = 0.25
+    cloud = Cloud.from_points(pts, vps=jnp.asarray(vps), dtype=jnp.float32)
+    cloud = cloud.pad(pad_size(cloud.size))
+    model = ScaledPolynomial(w=jnp.asarray([-0.002]),
+                             exponent=jnp.asarray([4.0]))
+
+    cfg.nn_backend = "brute"
+    ref = correct_cloud(model, cloud, cfg, k=128)
+    cfg.nn_backend = "slab"
+    _WIDTH_CACHE.clear()
+    _XCOLS_CACHE.clear()
+    slab = correct_cloud(model, cloud, cfg)
+    xc = max(_XCOLS_CACHE.values())
+    assert xc > NODE_X_COLS_MIN  # the retry resized + cached
+    keep = np.asarray(ref[4])
+    np.testing.assert_array_equal(np.asarray(slab[4]), keep)
+    np.testing.assert_array_equal(np.asarray(slab[3]), np.asarray(ref[3]))
+    # 0.1 mm: f32 eigenvector sensitivity of the one-pass vs gathered
+    # covariance at ~50 m coordinates (same class as the wall test).
+    np.testing.assert_allclose(
+        np.asarray(slab[0])[keep], np.asarray(ref[0])[keep], rtol=1e-5,
+        atol=1e-4)

@@ -1,4 +1,5 @@
 """Joint model+pose experiment harness (reference: scripts/model_poses_learning)."""
+import pytest
 import numpy as np
 
 from depth_correction_tpu.config import Config, PoseCorrection
@@ -31,6 +32,7 @@ def base_cfg(loss="trace_loss"):
     return cfg
 
 
+@pytest.mark.slow
 def test_joint_learning_improves_map_accuracy(tmp_path):
     """Bias- and pose-noise-injected scans: joint training reduces the loss
     and the map error against the clean GT map; the recovered weight moves

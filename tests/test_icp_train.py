@@ -130,6 +130,7 @@ def test_icp_train_entrypoint(tmp_path):
     assert os.path.exists(os.path.join(cfg.log_dir, "best.yaml"))
 
 
+@pytest.mark.slow
 def test_eval_loss_all_includes_icp(tmp_path):
     """eval_loss_all writes the ICP row like the consistency losses
     (reference: eval.py:194-211)."""

@@ -1,4 +1,5 @@
 """loss_offset semantics and the L-BFGS optimizer path."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def test_loss_offset_reduces_loss():
     assert 0.0 <= off < raw
 
 
+@pytest.mark.slow
 def test_loss_offset_tracks_current_model():
     """The dynamic offset equals a FROM-SCRATCH local-loss recomputation
     under the current model at several w values (reference: preproc.py:67-77

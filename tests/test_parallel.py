@@ -1,5 +1,6 @@
 """Multi-chip sharding on the 8-virtual-device CPU mesh."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ def _setup():
     return ge._tiny_setup()
 
 
+@pytest.mark.slow
 def test_sharded_loss_matches_single_device():
     from depth_correction_tpu.parallel import (
         make_mesh,
@@ -465,6 +467,7 @@ def test_graft_entry_single_chip():
     assert np.isfinite(float(val))
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 

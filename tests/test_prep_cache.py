@@ -81,6 +81,7 @@ def test_prep_cache_hit_is_bitidentical(tmp_path, monkeypatch):
     assert len(_entries(cfg)) == 1
 
 
+@pytest.mark.slow
 def test_prep_cache_knob_or_data_invalidates(tmp_path):
     """Establishment knobs and scan content are both in the fingerprint."""
     from depth_correction_tpu.datasets import create_dataset

@@ -1,4 +1,5 @@
 """Ray casting and the rendered-mesh lidar simulator."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -114,6 +115,7 @@ def test_rendered_mesh_disk_cache(tmp_path):
         np.testing.assert_array_equal(c1[name], c2[name])
 
 
+@pytest.mark.slow
 def test_rendered_mesh_training_recovers_bias(tmp_path):
     """Full simulated-lidar loop: render scans from a mesh, inject a known
     bias, train, recover the weight (the reference's tier-3/4 strategy:

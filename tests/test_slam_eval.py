@@ -1,6 +1,7 @@
 """In-framework ICP alignment / odometry evaluation."""
 import os
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -22,6 +23,7 @@ def box_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_icp_align_recovers_known_offset():
     cfg = box_cfg()
     ds = create_dataset("open_box/n_4_size_10_10_5_height_1_density_60", cfg,
